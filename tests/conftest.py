@@ -1,0 +1,50 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the standard JAX way to exercise SPMD sharding without TPU hardware
+(SURVEY.md §4d). Must run before the first `import jax` anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# Some environments force-register a TPU plugin that ignores JAX_PLATFORMS;
+# pin the default device to CPU so unit tests are deterministic and exact-f32.
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def cpu_devices():
+    return jax.devices("cpu")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+TINY_KW = dict(
+    img_size=(32, 32),
+    enc_embed_dim=64,
+    enc_depth=2,
+    enc_num_heads=2,
+    dec_embed_dim=48,
+    dec_depth=2,
+    dec_num_heads=2,
+)
+
+
+@pytest.fixture
+def tiny_config():
+    from thermal3d.core.config import DustrModelConfig
+
+    return DustrModelConfig(**TINY_KW)

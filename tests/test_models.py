@@ -1,0 +1,121 @@
+"""Model forward shape/contract tests on tiny configs (CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thermal3d.core.config import DustrModelConfig, HeadConfig
+from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+from thermal3d.models.thermal_wrap import ThermalDUSt3R, ThermalPreprocessHead
+
+
+def _forward(cfg, batch=2):
+    model = AsymmetricCroCo3DStereo(cfg)
+    h, w = cfg.img_size
+    img1 = jnp.linspace(0, 1, batch * h * w * 3).reshape(batch, h, w, 3)
+    img2 = img1[:, :, ::-1, :]
+    params = model.init(jax.random.key(0), img1, img2)
+    return model.apply(params, img1, img2), params
+
+
+def test_linear_head_contract(tiny_config):
+    (pred1, pred2), _ = _forward(tiny_config)
+    h, w = tiny_config.img_size
+    assert pred1["pts3d"].shape == (2, h, w, 3)
+    assert pred1["conf"].shape == (2, h, w)
+    assert pred2["pts3d_in_other_view"].shape == (2, h, w, 3)
+    assert pred2["conf"].shape == (2, h, w)
+    # conf activation is 1 + exp(x) >= 1 (dust3r conf_mode ('exp', 1, inf))
+    assert float(np.min(np.asarray(pred1["conf"]))) >= 1.0
+    assert np.all(np.isfinite(np.asarray(pred1["pts3d"])))
+
+
+def test_dpt_head_contract(tiny_config):
+    cfg = dataclasses.replace(
+        tiny_config,
+        head=HeadConfig(head_type="dpt", feature_dim=32, last_dim=16,
+                        dpt_layer_dims=(8, 16, 24, 32)),
+    )
+    (pred1, pred2), _ = _forward(cfg, batch=1)
+    h, w = cfg.img_size
+    assert pred1["pts3d"].shape == (1, h, w, 3)
+    assert pred1["conf"].shape == (1, h, w)
+
+
+def test_catmlpdpt_head_contract(tiny_config):
+    cfg = dataclasses.replace(
+        tiny_config,
+        head=HeadConfig(head_type="catmlpdpt", feature_dim=32, last_dim=16,
+                        dpt_layer_dims=(8, 16, 24, 32), local_feat_dim=6),
+    )
+    (pred1, pred2), _ = _forward(cfg, batch=1)
+    h, w = cfg.img_size
+    assert pred1["desc"].shape == (1, h, w, 6)
+    assert pred1["desc_conf"].shape == (1, h, w)
+    # desc is L2-normalized
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pred1["desc"]), axis=-1), 1.0, atol=1e-4
+    )
+    assert pred2["pts3d_in_other_view"].shape == (1, h, w, 3)
+
+
+def test_asymmetric_heads_differ(tiny_config):
+    """head1 and head2 have independent weights (asymmetric model)."""
+    (pred1, pred2), params = _forward(tiny_config, batch=1)
+    p = params["params"]
+    assert "downstream_head1" in p and "downstream_head2" in p
+    k1 = np.asarray(p["downstream_head1"]["proj"]["kernel"])
+    k2 = np.asarray(p["downstream_head2"]["proj"]["kernel"])
+    assert not np.allclose(k1, k2)
+
+
+def test_monocular_symmetry(tiny_config):
+    """view2 = view1 (monocular mode, thermal_dustr_inference.py:87-92) runs."""
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    h, w = tiny_config.img_size
+    img = jnp.ones((1, h, w, 3)) * 0.5
+    params = model.init(jax.random.key(1), img, img)
+    pred1, pred2 = jax.jit(lambda p, a, b: model.apply(p, a, b))(params, img, img)
+    assert np.all(np.isfinite(np.asarray(pred1["pts3d"])))
+
+
+def test_thermal_preprocess_head(rng):
+    x = rng.uniform(0.2, 0.8, (2, 16, 16, 3)).astype(np.float32)
+    head = ThermalPreprocessHead()
+    params = head.init(jax.random.key(0), x)
+    out = np.asarray(head.apply(params, x))
+    assert out.shape == x.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert float(params["params"]["edge_weight"]) == 0.5
+    assert float(params["params"]["temp_scale"]) == 1.0
+    # after local normalization the per-image max is pulled to ~1
+    assert out.max() > 0.9
+
+
+def test_thermal_wrapper_forward(tiny_config):
+    model = ThermalDUSt3R(tiny_config)
+    h, w = tiny_config.img_size
+    img = jnp.full((1, h, w, 3), 0.25)
+    img = img.at[:, : h // 2].set(0.75)  # some structure for sobel
+    params = model.init(jax.random.key(0), img, img)
+    pred1, pred2 = model.apply(params, img, img)
+    assert pred1["pts3d"].shape == (1, h, w, 3)
+    assert "thermal_preprocess" in params["params"]
+    assert "model" in params["params"]
+
+
+def test_encoder_batches_both_views(tiny_config):
+    """Encoding is order-equivariant: swapping inputs swaps encoder feats."""
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    h, w = tiny_config.img_size
+    a = jnp.linspace(0, 1, h * w * 3).reshape(1, h, w, 3)
+    b = a * 0.5
+    params = model.init(jax.random.key(0), a, b)
+    p1, p2 = model.apply(params, a, b)
+    q1, q2 = model.apply(params, b, a)
+    # asymmetric decoder/heads → results differ, but both must be finite
+    assert np.all(np.isfinite(np.asarray(q1["pts3d"])))
+    assert not np.allclose(np.asarray(p1["pts3d"]), np.asarray(q1["pts3d"]))

@@ -1,0 +1,178 @@
+"""Fused attention Pallas kernel for TPU.
+
+DUSt3R attention runs at short sequence lengths (196 tokens @224², 1024
+@512²), so the optimal TPU kernel keeps the full K/V for a (batch, head) in
+VMEM and blocks only over queries: scores never round-trip to HBM, the softmax
+is computed in one shot per q-block (no online rescaling needed at S ≤ ~2k),
+and both matmuls hit the MXU with f32 accumulation.
+
+Sequences are padded to a multiple of 128 lanes by the wrapper; padded key
+columns are masked with -inf before the softmax. The op is differentiable: the
+backward pass recomputes attention with standard jnp formulas (cheap at these
+sizes, saves HBM for residuals).
+
+Replaces the torch SDPA the reference inherits from the external dust3r repo
+(SURVEY.md §2.2, §5 "long-context": flash attention is the per-chip
+throughput lever here, not a cross-chip one).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU too; kernels only compile on TPU
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
+    q = q_ref[0].astype(jnp.float32)  # [BLK_Q, D]
+    k = k_ref[0].astype(jnp.float32)  # [S_pad, D]
+    v = v_ref[0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BLK_Q, S_pad]
+    s_pad = scores.shape[-1]
+    if valid_len < s_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        scores = jnp.where(col < valid_len, scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / denom
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _flash_attention_fwd_pallas(q, k, v, *, scale: float, interpret: bool = False):
+    """q: [BH, Sq, D], k/v: [BH, Sk, D] -> [BH, Sq, D]."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    sq_pad = _round_up(sq, 128)
+    sk_pad = _round_up(sk, 128)
+    d_pad = _round_up(d, 128)
+    qp = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, d_pad - d)))
+
+    blk_q = min(sq_pad, 256)
+    grid = (bh, sq_pad // blk_q)
+    kernel = functools.partial(_attention_kernel, valid_len=sk, scale=scale)
+
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+    mem_space = pltpu.VMEM if _HAS_PLTPU else None
+
+    def bspec(shape, index_map):
+        if mem_space is not None:
+            return pl.BlockSpec(shape, index_map, memory_space=mem_space)
+        return pl.BlockSpec(shape, index_map)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            bspec((1, blk_q, d_pad), lambda b, i: (b, i, 0)),
+            bspec((1, sk_pad, d_pad), lambda b, i: (b, 0, 0)),
+            bspec((1, sk_pad, d_pad), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=bspec((1, blk_q, d_pad), lambda b, i: (b, i, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_pad * sk_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=bh * sq_pad * sk_pad,
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(qp, kp, vp)
+    return out[:, :sq, :d]
+
+
+def _attention_reference(q, k, v, scale):
+    scores = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention_core(q, k, v, scale, interpret):
+    return _flash_attention_fwd_pallas(q, k, v, scale=scale, interpret=interpret)
+
+
+def _core_fwd(q, k, v, scale, interpret):
+    return _flash_attention_core(q, k, v, scale, interpret), (q, k, v)
+
+
+def _core_bwd(scale, interpret, res, g):
+    q, k, v = res
+    # Recompute attention in f32 and differentiate the closed form.
+    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
+    scores = jnp.einsum("bqd,bkd->bqk", qf, kf) * scale
+    p = jax.nn.softmax(scores, axis=-1)
+    dv = jnp.einsum("bqk,bqd->bkd", p, gf)
+    dp = jnp.einsum("bqd,bkd->bqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _auto_platform() -> str:
+    """Platform that ops will actually run on: respects jax_default_device
+    (used by tests to pin CPU on hosts where a TPU plugin is force-registered)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-head attention. q: [B, H, Sq, D]; k/v: [B, H, Sk, D].
+
+    impl: 'auto' (pallas on TPU, XLA elsewhere), 'pallas', or 'xla'.
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    if impl == "auto":
+        impl = "pallas" if _auto_platform() == "tpu" else "xla"
+
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, sk, d)
+    vf = v.reshape(b * h, sk, d)
+    if impl == "pallas":
+        out = _flash_attention_core(qf, kf, vf, scale, interpret)
+    else:
+        out = _attention_reference(qf, kf, vf, scale)
+    return out.reshape(b, h, sq, d)

@@ -1,0 +1,136 @@
+"""AsymmetricCroCo3DStereo — the DUSt3R/MASt3R two-view pointmap network, in Flax.
+
+The reference imports this network from the external naver/dust3r checkout
+(thermal_dustr_model.py:33) and configures it as ViT-L encoder (1024/24/16),
+base dual decoder (768/8/12), patch 16, linear pts3d head, 224² input
+(thermal_dustr_model.py:34-47). This module re-implements the architecture
+TPU-first:
+
+  * NHWC layout, static shapes, whole forward jittable;
+  * both views batched through the shared encoder in ONE pass (the reference's
+    patched `_encode_image` loop at thermal_dustr_model.py:67-74 runs per view);
+  * attention through the fused Pallas kernel on TPU;
+  * heads computed in f32 (the reference disables autocast for heads).
+
+I/O contract (consumed all over the reference, e.g.
+thermal_dustr_inference.py:103-121, train_thermal_dustr.py:192-223):
+  model(img1, img2) -> (pred1, pred2)
+  pred1 = {"pts3d": [B,H,W,3], "conf": [B,H,W]}
+  pred2 = {"pts3d_in_other_view": [B,H,W,3], "conf": [B,H,W]}
+MASt3R configs add "desc" [B,H,W,24] and "desc_conf" [B,H,W].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from thermal3d.core.config import DustrModelConfig
+from thermal3d.models.heads import (
+    CatMLPDPTHead,
+    DPTPts3dHead,
+    LinearPts3dHead,
+    dpt_hook_indices,
+)
+from thermal3d.models.layers import DecoderBlock, EncoderBlock, PatchEmbed
+from thermal3d.models.rope import make_grid_positions
+
+
+class AsymmetricCroCo3DStereo(nn.Module):
+    config: DustrModelConfig
+
+    def setup(self):
+        cfg = self.config
+        dt = cfg.dtype
+        self.patch_embed = PatchEmbed(cfg.patch_size, cfg.enc_embed_dim, dt, name="patch_embed")
+        self.enc_blocks = [
+            EncoderBlock(
+                cfg.enc_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
+                name=f"enc_blocks_{i}",
+            )
+            for i in range(cfg.enc_depth)
+        ]
+        self.enc_norm = nn.LayerNorm(dtype=dt, name="enc_norm")
+        self.decoder_embed = nn.Dense(cfg.dec_embed_dim, dtype=dt, name="decoder_embed")
+        self.dec_blocks = [
+            DecoderBlock(
+                cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
+                name=f"dec_blocks_{i}",
+            )
+            for i in range(cfg.dec_depth)
+        ]
+        self.dec_blocks2 = [
+            DecoderBlock(
+                cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
+                name=f"dec_blocks2_{i}",
+            )
+            for i in range(cfg.dec_depth)
+        ]
+        self.dec_norm = nn.LayerNorm(dtype=dt, name="dec_norm")
+
+        head_type = cfg.head.head_type
+        if head_type == "linear":
+            self.head1 = LinearPts3dHead(cfg.patch_size, cfg.head, name="downstream_head1")
+            self.head2 = LinearPts3dHead(cfg.patch_size, cfg.head, name="downstream_head2")
+        elif head_type == "dpt":
+            self.head1 = DPTPts3dHead(cfg.patch_size, cfg.head, name="downstream_head1")
+            self.head2 = DPTPts3dHead(cfg.patch_size, cfg.head, name="downstream_head2")
+        elif head_type == "catmlpdpt":
+            self.head1 = CatMLPDPTHead(cfg.patch_size, cfg.head, name="downstream_head1")
+            self.head2 = CatMLPDPTHead(cfg.patch_size, cfg.head, name="downstream_head2")
+        else:
+            raise ValueError(f"unknown head_type {head_type}")
+
+    def encode(self, img: jnp.ndarray):
+        """Encode one (possibly stacked) image batch. img: [B, H, W, 3]."""
+        x, grid = self.patch_embed(img.astype(self.config.dtype))
+        pos = make_grid_positions(*grid)
+        for blk in self.enc_blocks:
+            x = blk(x, pos)
+        x = self.enc_norm(x)
+        return x, pos, grid
+
+    def decode(self, f1: jnp.ndarray, f2: jnp.ndarray, pos: jnp.ndarray):
+        """Dual-branch decoder. Returns per-view lists of hook tokens:
+        [encoder_out, dec_1, ..., dec_L(dec_norm'ed)] (croco _decoder layout
+        after its duplicate-removal: final_output[1] is dropped)."""
+        outs1 = [f1]
+        outs2 = [f2]
+        x1 = self.decoder_embed(f1)
+        x2 = self.decoder_embed(f2)
+        for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
+            nx1 = blk1(x1, x2, pos, pos)
+            nx2 = blk2(x2, x1, pos, pos)
+            x1, x2 = nx1, nx2
+            outs1.append(x1)
+            outs2.append(x2)
+        outs1[-1] = self.dec_norm(outs1[-1])
+        outs2[-1] = self.dec_norm(outs2[-1])
+        return outs1, outs2
+
+    def _run_head(self, head, outs, grid):
+        cfg = self.config
+        outs_f32 = [t.astype(jnp.float32) for t in outs]
+        if cfg.head.head_type == "linear":
+            return head(outs_f32, grid)
+        hooks = dpt_hook_indices(cfg.dec_depth)
+        hooked = [outs_f32[i] for i in hooks]
+        if cfg.head.head_type == "dpt":
+            return head(hooked, grid)
+        return head(hooked, grid, outs_f32[0], outs_f32[-1])
+
+    def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray) -> Tuple[Dict, Dict]:
+        """img1/img2: [B, H, W, 3] in [0, 1] (the reference feeds [0,1] thermal
+        frames straight into the network — no (-1,1) renorm in its pipeline)."""
+        b = img1.shape[0]
+        # encode both views in a single batched pass (shared weights)
+        feats, pos, grid = self.encode(jnp.concatenate([img1, img2], axis=0))
+        f1, f2 = feats[:b], feats[b:]
+        outs1, outs2 = self.decode(f1, f2, pos)
+        res1 = self._run_head(self.head1, outs1, grid)
+        res2 = self._run_head(self.head2, outs2, grid)
+        pred2 = dict(res2)
+        pred2["pts3d_in_other_view"] = pred2.pop("pts3d")
+        return res1, pred2

@@ -1,0 +1,159 @@
+"""Transformer layers for the DUSt3R/MASt3R family (Flax).
+
+Re-implements the croco/dust3r block zoo TPU-first: pre-norm ViT blocks with
+RoPE'd self-attention for the encoder, and decoder blocks adding RoPE'd
+cross-attention to the other view's tokens. The attention math runs through
+the fused Pallas kernel on TPU (thermal3d.kernels.flash_attention).
+
+Parameter names deliberately mirror the PyTorch checkpoint key layout
+(`attn.qkv`, `attn.proj`, `cross_attn.projq/projk/projv/proj`, `norm1..3`,
+`norm_y`, `mlp.fc1/fc2` — evidenced by /root/reference/scripts/model_info.py:
+209,228-261) so the converter is a mechanical transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from thermal3d.kernels.flash_attention import flash_attention
+from thermal3d.models.rope import apply_rope_2d
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Self-attention with packed qkv projection and 2-D RoPE on q/k."""
+
+    num_heads: int
+    rope_base: float = 100.0
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, pos):
+        b, s, c = x.shape
+        hd = c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, s, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [B, H, S, hd]
+        q = apply_rope_2d(q, pos, self.rope_base)
+        k = apply_rope_2d(k, pos, self.rope_base)
+        out = flash_attention(q, k, v, impl=self.attention_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention: queries from x, keys/values from y, RoPE'd per view."""
+
+    num_heads: int
+    rope_base: float = 100.0
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, key, value, xpos, ypos):
+        b, sq, c = x.shape
+        sk = key.shape[1]
+        hd = c // self.num_heads
+
+        def heads(t, s):
+            return t.reshape(b, s, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        q = heads(nn.Dense(c, dtype=self.dtype, name="projq")(x), sq)
+        k = heads(nn.Dense(c, dtype=self.dtype, name="projk")(key), sk)
+        v = heads(nn.Dense(c, dtype=self.dtype, name="projv")(value), sk)
+        q = apply_rope_2d(q, xpos, self.rope_base)
+        k = apply_rope_2d(k, ypos, self.rope_base)
+        out = flash_attention(q, k, v, impl=self.attention_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, sq, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class EncoderBlock(nn.Module):
+    """Pre-norm ViT block: x += attn(norm1(x)); x += mlp(norm2(x))."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    rope_base: float = 100.0
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, pos):
+        c = x.shape[-1]
+        x = x + Attention(
+            self.num_heads, self.rope_base, self.dtype, self.attention_impl, name="attn"
+        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), pos)
+        x = x + Mlp(int(c * self.mlp_ratio), c, self.dtype, name="mlp")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        )
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """Croco decoder block: self-attn, cross-attn to the other view, MLP.
+
+    Forward contract (croco blocks.DecoderBlock):
+        x = x + attn(norm1(x), xpos)
+        y_ = norm_y(y)
+        x = x + cross_attn(norm2(x), y_, y_, xpos, ypos)
+        x = x + mlp(norm3(x))
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    rope_base: float = 100.0
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, y, xpos, ypos):
+        c = x.shape[-1]
+        x = x + Attention(
+            self.num_heads, self.rope_base, self.dtype, self.attention_impl, name="attn"
+        )(nn.LayerNorm(dtype=self.dtype, name="norm1")(x), xpos)
+        y_ = nn.LayerNorm(dtype=self.dtype, name="norm_y")(y)
+        x = x + CrossAttention(
+            self.num_heads, self.rope_base, self.dtype, self.attention_impl, name="cross_attn"
+        )(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), y_, y_, xpos, ypos)
+        x = x + Mlp(int(c * self.mlp_ratio), c, self.dtype, name="mlp")(
+            nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        )
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """16×16 conv patchifier → [B, S, C] tokens (croco PatchEmbedDust3R)."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img):
+        # img: [B, H, W, 3] (NHWC — TPU-native layout)
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="proj",
+        )(img)
+        b, h, w, c = x.shape
+        return x.reshape(b, h * w, c), (h, w)
