@@ -1,0 +1,94 @@
+"""Preprocessing kernels vs numpy oracles of the reference formulas."""
+
+import numpy as np
+import pytest
+
+from thermal3d.preprocess.enhance import (
+    enhance_thermal_contrast,
+    enhance_thermal_fixed_range,
+)
+
+
+def oracle_enhance_contrast(thermal_np):
+    """utils/preprocessing.py:6-30 as numpy."""
+    if thermal_np.ndim == 3:  # HWC here
+        t = thermal_np
+        if np.allclose(t[..., 0], t[..., 1]) and np.allclose(t[..., 0], t[..., 2]):
+            g = t[..., 0]
+        else:
+            g = 0.299 * t[..., 0] + 0.587 * t[..., 1] + 0.114 * t[..., 2]
+    else:
+        g = thermal_np
+    p2, p98 = np.percentile(g, (2, 98))
+    e = np.clip((g - p2) / (p98 - p2), 0, 1)
+    return np.repeat(e[..., None], 3, axis=-1)
+
+
+def test_enhance_contrast_gray(rng):
+    img = rng.uniform(0.3, 0.4, (48, 64)).astype(np.float32)
+    img[10:20, 10:20] = 0.9
+    ours = np.asarray(enhance_thermal_contrast(img))
+    oracle = oracle_enhance_contrast(img)
+    np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
+
+def test_enhance_contrast_identical_channels(rng):
+    g = rng.uniform(0, 1, (32, 32)).astype(np.float32)
+    img = np.repeat(g[..., None], 3, axis=-1)
+    ours = np.asarray(enhance_thermal_contrast(img))
+    oracle = oracle_enhance_contrast(img)
+    np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+
+def test_enhance_contrast_rgb(rng):
+    img = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    ours = np.asarray(enhance_thermal_contrast(img))
+    oracle = oracle_enhance_contrast(img)
+    np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+
+def test_enhance_contrast_batched(rng):
+    imgs = rng.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32)
+    ours = np.asarray(enhance_thermal_contrast(imgs))
+    assert ours.shape == (4, 16, 16, 3)
+    for i in range(4):
+        np.testing.assert_allclose(ours[i], oracle_enhance_contrast(imgs[i]), atol=1e-4)
+
+
+def test_enhance_contrast_scale_invariance(rng):
+    """Raw uint16 counts vs /65535-normalized give identical outputs
+    (SURVEY C5: training keeps raw counts; percentile rescale is
+    scale-invariant)."""
+    raw = rng.uniform(21000, 26000, (32, 32)).astype(np.float32)
+    a = np.asarray(enhance_thermal_contrast(raw))
+    b = np.asarray(enhance_thermal_contrast(raw / 65535.0))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def oracle_fixed_range(g, normalized=True):
+    """utils/preprocessing.py:32-73 as numpy (grayscale input)."""
+    if normalized:
+        raw = g * 65535.0
+    else:
+        raw = g
+    raw = np.clip(raw, 21800, 25000)
+    return (raw - 21800) / (25000 - 21800)
+
+
+def test_fixed_range_normalized(rng):
+    g = rng.uniform(0.3, 0.42, (24, 24)).astype(np.float32)  # ~raw counts /65535
+    ours = np.asarray(enhance_thermal_fixed_range(g, normalized=True))
+    np.testing.assert_allclose(ours, oracle_fixed_range(g, True), atol=1e-5)
+
+
+def test_fixed_range_raw(rng):
+    g = rng.uniform(20000, 26000, (24, 24)).astype(np.float32)
+    ours = np.asarray(enhance_thermal_fixed_range(g, normalized=False))
+    np.testing.assert_allclose(ours, oracle_fixed_range(g, False), atol=1e-5)
+
+
+def test_fixed_range_preserves_channels(rng):
+    g = rng.uniform(0.3, 0.42, (8, 8, 3)).astype(np.float32)
+    g = np.repeat(g[..., :1], 3, axis=-1)
+    out = np.asarray(enhance_thermal_fixed_range(g))
+    assert out.shape == (8, 8, 3)
