@@ -1,0 +1,83 @@
+"""Input pipeline: threaded prefetching batcher feeding fixed-shape batches.
+
+Replaces the reference's torch DataLoader(num_workers=4) + skip_none_collate
+(train_thermal_dustr.py:83-86, utils/data_utils.py): since the index is
+validated eagerly, batches are always full and fixed-shape — a requirement for
+the jitted/sharded train step. Decoding runs in a thread pool (cv2/numpy
+release the GIL); batches are prefetched ahead of the device.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def split_index(n: int, val_fraction: float = 0.2, seed: int = 0
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Random 0.8/0.2 split (train_thermal_dustr.py:78-81 random_split)."""
+    perm = np.random.default_rng(seed).permutation(n)
+    n_train = int(n * (1.0 - val_fraction))
+    return perm[:n_train], perm[n_train:]
+
+
+class BatchLoader:
+    """Iterable over stacked numpy batches with background prefetch.
+
+    Drops samples that fail to decode (should not happen on a validated
+    index) and drops the final partial batch when drop_last (static shapes).
+    """
+
+    def __init__(self, dataset, indices: Optional[Sequence[int]] = None,
+                 batch_size: int = 4, shuffle: bool = True, seed: int = 0,
+                 num_workers: int = 4, prefetch: int = 2, drop_last: bool = True):
+        self.dataset = dataset
+        self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        if not self.shuffle:
+            return self.indices
+        rng = np.random.default_rng(self.seed + self._epoch)
+        return rng.permutation(self.indices)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._epoch_order()
+        self._epoch += 1
+        bs = self.batch_size
+        n_batches = len(order) // bs if self.drop_last else -(-len(order) // bs)
+
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            pending: collections.deque = collections.deque()
+
+            def submit(bi):
+                idxs = order[bi * bs : (bi + 1) * bs]
+                pending.append(pool.map(self.dataset.__getitem__, idxs))
+
+            for bi in range(min(self.prefetch + 1, n_batches)):
+                submit(bi)
+            next_submit = min(self.prefetch + 1, n_batches)
+
+            for _ in range(n_batches):
+                samples = [s for s in pending.popleft() if s is not None]
+                if next_submit < n_batches:
+                    submit(next_submit)
+                    next_submit += 1
+                if not samples or (self.drop_last and len(samples) < bs):
+                    continue
+                keys = samples[0].keys()
+                yield {k: np.stack([s[k] for s in samples]) for k in keys}

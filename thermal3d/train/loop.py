@@ -1,0 +1,130 @@
+"""Training driver: epochs, validation, early stopping, checkpoints.
+
+Mirrors train_thermal_dustr.py:120-556 at the orchestration level (0.8/0.2
+split, per-epoch scheduler, best-on-val checkpoint, early-stop patience 10,
+--max_batches quick-test cap) on top of the sharded batched step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from thermal3d.core.config import TrainConfig
+from thermal3d.core.mesh import make_mesh, shard_batch
+from thermal3d.data.pipeline import BatchLoader, split_index
+from thermal3d.train.checkpoint import CheckpointManager
+from thermal3d.train.logging import MetricLogger
+from thermal3d.train.state import create_train_state, make_lr_schedule
+from thermal3d.train.step import make_eval_step, make_train_step
+
+
+def train_and_evaluate(
+    model,
+    params,
+    dataset,
+    cfg: TrainConfig,
+    checkpoint_dir: Optional[str] = None,
+    logger: Optional[MetricLogger] = None,
+    mesh=None,
+    resume: bool = False,
+) -> Dict[str, float]:
+    """Returns summary dict with best_val_loss / epochs_run / final step."""
+    if mesh is None:
+        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    if logger is None:
+        logger = MetricLogger(use_wandb=False)
+
+    train_idx, val_idx = split_index(len(dataset), cfg.val_fraction, cfg.seed)
+    train_loader = BatchLoader(dataset, train_idx, cfg.batch_size, shuffle=True,
+                               seed=cfg.seed)
+    val_loader = BatchLoader(dataset, val_idx, cfg.batch_size, shuffle=False,
+                             drop_last=False)
+
+    steps_per_epoch = max(1, len(train_loader))
+    state = create_train_state(model, params, cfg, steps_per_epoch)
+    lr_schedule = make_lr_schedule(cfg, steps_per_epoch)
+
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    start_epoch = 0
+    if resume and ckpt is not None and ckpt.latest_step() is not None:
+        state, meta = ckpt.restore(state)
+        start_epoch = int(meta.get("epoch", 0))
+
+    train_step = make_train_step(model, cfg, mesh)
+    eval_step = make_eval_step(model, cfg, mesh)
+
+    best_val = float("inf")
+    patience_counter = 0
+    global_step = int(state.step)
+    epochs_run = 0
+
+    for epoch in range(start_epoch, cfg.epochs):
+        epoch_t0 = time.time()
+        running, nb = 0.0, 0
+        for bi, batch in enumerate(train_loader):
+            if cfg.max_batches is not None and bi >= cfg.max_batches:
+                break
+            if "pointmap1" not in batch:
+                continue
+            state, metrics = train_step(state, shard_batch(mesh, batch))
+            loss = float(metrics["loss"])
+            if np.isfinite(loss):
+                running += loss
+                nb += 1
+            global_step += 1
+            logger.log({
+                "batch_loss": loss,
+                "basic_loss": float(metrics.get("basic_loss", np.nan)),
+                "edge_loss": float(metrics.get("edge_loss", 0.0)) * cfg.loss.edge_weight,
+                "smoothness_loss": float(metrics.get("smoothness_loss", 0.0))
+                * cfg.loss.smoothness_weight,
+                "detail_loss": float(metrics.get("detail_loss", 0.0)) * cfg.loss.detail_weight,
+                "learning_rate": float(lr_schedule(global_step - 1)),
+                "global_step": global_step,
+            })
+
+        if nb:
+            logger.log({"epoch": epoch + 1, "train_loss": running / nb,
+                        "epoch_seconds": time.time() - epoch_t0})
+
+        # validation (plain L1, train:389-504); remainder batches are padded
+        # to the full batch size (static shapes) and averaged over the real
+        # samples only
+        val_sum, val_n = 0.0, 0
+        for bi, batch in enumerate(val_loader):
+            if cfg.max_batches is not None and bi >= cfg.max_batches:
+                break
+            if "pointmap1" not in batch:
+                continue
+            n_real = batch["thermal1"].shape[0]
+            if n_real < cfg.batch_size:
+                pad = cfg.batch_size - n_real
+                batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                         for k, v in batch.items()}
+            per_sample = np.asarray(eval_step(state.params, shard_batch(mesh, batch)))
+            val_sum += float(per_sample[:n_real].sum())
+            val_n += n_real
+        epochs_run = epoch + 1
+        if not val_n:
+            continue
+        val_loss = val_sum / val_n
+        logger.log({"epoch": epoch + 1, "val_loss": val_loss})
+
+        if val_loss < best_val:
+            best_val = val_loss
+            patience_counter = 0
+            if ckpt is not None:
+                ckpt.save(epoch + 1, state, val_loss, {"epoch": epoch + 1})
+        else:
+            patience_counter += 1
+            if patience_counter >= cfg.early_stop_patience:
+                break
+
+    if ckpt is not None:
+        ckpt.close()
+    return {"best_val_loss": best_val, "epochs_run": epochs_run,
+            "final_step": global_step}
