@@ -1,0 +1,188 @@
+"""Pseudo-GT generation → training-data roundtrip, evaluator, introspection."""
+
+import dataclasses
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from thermal3d.core.config import DustrModelConfig, HeadConfig
+
+cv2 = pytest.importorskip("cv2")
+
+TINY_MASTR_KW = dict(
+    img_size=(32, 32),
+    enc_embed_dim=64,
+    enc_depth=2,
+    enc_num_heads=2,
+    dec_embed_dim=48,
+    dec_depth=2,
+    dec_num_heads=2,
+    head=HeadConfig(head_type="catmlpdpt", feature_dim=32, last_dim=16,
+                    dpt_layer_dims=(8, 16, 24, 32), local_feat_dim=6),
+)
+
+
+@pytest.fixture
+def mini_freiburg(tmp_path, rng):
+    root = tmp_path / "ds"
+    for seq in ["seq_00_day"]:
+        for i in range(4):
+            stamp = f"157000{i}_00{i}"
+            tdir = root / "train" / seq / "00" / "fl_ir_aligned"
+            rdir = root / "train" / seq / "00" / "fl_rgb"
+            tdir.mkdir(parents=True, exist_ok=True)
+            rdir.mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(tdir / f"fl_ir_aligned_{stamp}.png"),
+                        rng.integers(21000, 26000, (32, 32)).astype(np.uint16))
+            cv2.imwrite(str(rdir / f"fl_rgb_{stamp}.png"),
+                        rng.integers(0, 255, (32, 32, 3)).astype(np.uint8))
+    return root
+
+
+def test_pseudo_gt_roundtrip(mini_freiburg, tmp_path):
+    """Generator output layout must be loadable by the training dataset —
+    the C16 → C6 contract."""
+    from thermal3d.data.freiburg import FreiburgPairDataset, build_rgb_pair_index
+    from thermal3d.pseudo_gt.generator import PseudoGTGenerator, generate_pseudo_gt
+
+    cfg = DustrModelConfig(**TINY_MASTR_KW)
+    gen = PseudoGTGenerator(cfg, batch_size=2)
+    pairs = build_rgb_pair_index(str(mini_freiburg), frame_skip=1)
+    assert len(pairs) == 3
+    out_dir = tmp_path / "gt"
+    n = generate_pseudo_gt(pairs, str(out_dir), gen)
+    assert n == 3
+    for sub in ("pointmap1", "pointmap2", "confidence1", "confidence2",
+                "depth1", "depth2", "intrinsics", "poses"):
+        assert len(glob.glob(str(out_dir / sub / "*.npy"))) == 3, sub
+    pm = np.load(glob.glob(str(out_dir / "pointmap1" / "*.npy"))[0])
+    assert pm.shape == (32, 32, 3) and pm.dtype == np.float32
+    k = np.load(glob.glob(str(out_dir / "intrinsics" / "*.npy"))[0])
+    assert k.shape == (3, 3)
+    pose = np.load(glob.glob(str(out_dir / "poses" / "*.npy"))[0])
+    assert pose.shape == (4, 4)
+
+    # the training dataset must find and attach this GT
+    ds = FreiburgPairDataset(str(mini_freiburg), img_size=(32, 32),
+                             pseudo_gt_dir=str(out_dir), frame_skip=1)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["pointmap1"].shape == (32, 32, 3)
+    assert s["confidence1"].min() >= 1.0  # conf = 1 + exp(x)
+
+
+def test_test_set_pseudo_gt_layout(mini_freiburg, tmp_path):
+    """C23: {name}_depth.npy + _thermal_path.txt + _depth_vis.png under depth/."""
+    from thermal3d.data.freiburg import build_rgb_thermal_index
+    from thermal3d.pseudo_gt.generator import PseudoGTGenerator
+    from thermal3d.pseudo_gt.test_set import generate_test_set_pseudo_gt
+
+    cfg = DustrModelConfig(**TINY_MASTR_KW)
+    gen = PseudoGTGenerator(cfg, batch_size=2)
+    frames = build_rgb_thermal_index(str(mini_freiburg))
+    out = tmp_path / "ts"
+    n = generate_test_set_pseudo_gt(frames[:2], str(out), gen)
+    assert n == 2
+    files = sorted(os.listdir(out / "depth"))
+    assert any(f.endswith("_depth.npy") for f in files)
+    assert any(f.endswith("_thermal_path.txt") for f in files)
+    assert any(f.endswith("_depth_vis.png") for f in files)
+    d = np.load(str(out / "depth" / [f for f in files if f.endswith("_depth.npy")][0]))
+    assert d.shape == (32, 32)
+
+
+def test_find_matching_depth_file(tmp_path):
+    from thermal3d.evaluation.evaluator import find_matching_depth_file
+
+    depth_dir = tmp_path / "depth"
+    depth_dir.mkdir()
+    # RGB-suffix convention: ir stamp 191987444 → rgb stamp +'0'
+    np.save(depth_dir / "fl_ir_aligned_1570730891_1919874440_rgb_depth.npy",
+            np.ones((8, 8), np.float32))
+    thermal = "/x/fl_ir_aligned_1570730891_191987444_ir.png"
+    match = find_matching_depth_file(thermal, str(depth_dir))
+    assert match is not None and match.endswith("_rgb_depth.npy")
+    # glob fallback on partial timestamp
+    np.save(depth_dir / "fl_ir_aligned_9999_1_rgb_depth.npy", np.ones((8, 8), np.float32))
+    assert find_matching_depth_file("/x/fl_ir_aligned_9999_1_ir.png", str(depth_dir))
+    assert find_matching_depth_file("/x/bad.png", str(depth_dir)) is None
+
+
+def test_evaluate_test_set(mini_freiburg, tmp_path, tiny_config, rng):
+    from thermal3d.evaluation.evaluator import evaluate_test_set
+    from thermal3d.infer.engine import InferenceEngine
+
+    engine = InferenceEngine(tiny_config, use_thermal_head=True)
+    thermal_paths = sorted(glob.glob(
+        str(mini_freiburg / "train" / "seq_00_day" / "00" / "fl_ir_aligned" / "*.png")))
+    depth_dir = tmp_path / "gtd"
+    depth_dir.mkdir()
+    for t in thermal_paths:
+        name = os.path.splitext(os.path.basename(t))[0]
+        parts = name.split("_")
+        ts = "_".join(parts[2:-1]) if len(parts) >= 3 else name
+        np.save(depth_dir / f"fl_ir_aligned_{ts}_x_rgb_depth.npy",
+                rng.uniform(1, 10, (32, 32)).astype(np.float32))
+    out_dir = tmp_path / "eval_out"
+    summary = evaluate_test_set(engine, thermal_paths, str(depth_dir),
+                                output_dir=str(out_dir), batch_size=2)
+    assert summary["n_images"] == len(thermal_paths)
+    assert np.isfinite(summary["rmse"])
+    assert os.path.exists(out_dir / "metrics_summary.txt")
+    assert glob.glob(str(out_dir / "*_comparison.png"))
+
+
+def test_model_info_stats_and_validation(tiny_config, rng):
+    from thermal3d.cli.model_info import (
+        param_stats, reconstruct_architecture, validate_against_config)
+    from thermal3d.convert.torch_to_flax import expected_torch_keys
+
+    state = {k: rng.standard_normal(s).astype(np.float32)
+             for k, s in expected_torch_keys(tiny_config).items()}
+    stats = param_stats(state)
+    assert stats["total"] > 0
+    assert stats["groups"]["encoder"] > stats["groups"]["head"]
+    arch = reconstruct_architecture(state)
+    assert arch["enc_blocks"]["n_blocks"] == 2
+    assert arch["dec_blocks"]["attention"] == "Self + Cross Attention"
+    assert arch["patch_embed"]["embed_dim"] == 64
+
+    report = validate_against_config(state, tiny_config)
+    assert not report["missing"] and not report["unexpected"]
+    del state["enc_norm.weight"]
+    state["bogus.weight"] = np.zeros(3, np.float32)
+    report = validate_against_config(state, tiny_config)
+    assert report["missing"] == ["enc_norm.weight"]
+    assert report["unexpected"] == ["bogus.weight"]
+
+
+def test_dataset_exploration(mini_freiburg):
+    from thermal3d.data.exploration import explore_dataset
+
+    info = explore_dataset(str(mini_freiburg))
+    assert info["extension_counts"][".png"] == 8
+    assert len(info["rgb_dirs"]) == 1
+    assert len(info["thermal_dirs"]) == 1
+
+
+def test_viz_panels_smoke(tmp_path, rng):
+    from thermal3d.viz.panels import (
+        overlay_rgb_thermal, plot_point_cloud, sample_figure, visualize_data,
+        visualize_depth_result, visualize_ir)
+
+    t = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    d = rng.uniform(1, 5, (16, 16)).astype(np.float32)
+    import matplotlib.pyplot as plt
+
+    for fig in [sample_figure(t, t, d, d), sample_figure(t, t, d, d, with_edges=True)]:
+        plt.close(fig)
+    visualize_data(t, t, d, d, save_path=str(tmp_path / "vd.png"))
+    visualize_depth_result(t, d, d, save_path=str(tmp_path / "vr.png"))
+    visualize_ir(rng.uniform(21800, 23700, (16, 16)), save_path=str(tmp_path / "ir.png"))
+    ov = overlay_rgb_thermal(t, d)
+    assert ov.shape == (16, 16, 3)
+    pm = np.concatenate([rng.standard_normal((16, 16, 2)), d[..., None]], axis=-1)
+    plot_point_cloud(pm, color_img=t, pose=np.eye(4), save_path=str(tmp_path / "pc.png"))
+    assert all((tmp_path / f).exists() for f in ["vd.png", "vr.png", "ir.png", "pc.png"])

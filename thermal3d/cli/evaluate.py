@@ -1,0 +1,71 @@
+"""Evaluate thermal depth vs pseudo-GT — `python -m thermal3d.cli.evaluate`.
+
+Mirrors utils/evaluate_depth_metrics.py:247-401 (and fixes the reference's
+dead run_evaluate_thermal_dustr.sh reference to a missing script —
+SURVEY.md C27).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Evaluate Thermal DUSt3R on a test set")
+    p.add_argument("--model", type=str, default=None, help=".pth checkpoint (converted)")
+    p.add_argument("--thermal_dir", type=str, required=True)
+    p.add_argument("--pseudo_gt_dir", type=str, required=True,
+                   help="directory with *_depth.npy pseudo-GT files")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--img_size", type=int, nargs=2, default=[224, 224])
+    p.add_argument("--num_samples", type=int, default=0, help="0 = all")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--no_thermal_model", action="store_true")
+    p.add_argument("--no_vis", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    return p
+
+
+def main(argv=None):
+    import dataclasses
+
+    from thermal3d.core.config import DUSTR_224_LINEAR
+    from thermal3d.evaluation.evaluator import evaluate_test_set
+    from thermal3d.infer.engine import InferenceEngine
+
+    args = build_parser().parse_args(argv)
+    config = dataclasses.replace(DUSTR_224_LINEAR, img_size=tuple(args.img_size),
+                                 compute_dtype=args.compute_dtype)
+    params = head_params = None
+    if args.model:
+        from thermal3d.convert.torch_to_flax import convert_checkpoint
+
+        converted, _ = convert_checkpoint(args.model, config)
+        tree = converted["params"]
+        params = tree.get("model", tree)
+        head_params = tree.get("thermal_preprocess")
+    engine = InferenceEngine(config, params=params,
+                             use_thermal_head=not args.no_thermal_model,
+                             thermal_head_params=head_params)
+
+    thermal_paths = sorted(glob.glob(os.path.join(args.thermal_dir, "*.png")))
+    if args.num_samples:
+        thermal_paths = thermal_paths[: args.num_samples]
+    summary = evaluate_test_set(engine, thermal_paths, args.pseudo_gt_dir,
+                                output_dir=args.output_dir,
+                                save_visualizations=not args.no_vis,
+                                batch_size=args.batch_size)
+    if summary:
+        print("\nAverage metrics:")
+        print(f"RMSE: {summary['rmse']:.4f}")
+        print(f"Acc[<1.25]: {summary['acc_1']:.4f}")
+        print(f"Acc[<1.25^2]: {summary['acc_2']:.4f}")
+    else:
+        print("No valid metrics computed")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

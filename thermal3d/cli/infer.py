@@ -1,0 +1,137 @@
+"""Thermal depth inference — `python -m thermal3d.cli.infer`.
+
+Mirrors thermal_dustr_inference.py:297-376 (single image or directory-batch
+monocular depth; saves {base}_depth.npy + visualization PNG) plus the
+experiment variant's stereo/--img_path2, fire-scene preprocessing and depth
+refinement options (thermal_dustr_inference_for_experiment.py:379-502).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Thermal DUSt3R depth inference")
+    p.add_argument("--weights", type=str, default=None,
+                   help=".pth (converted) or orbax checkpoint dir; random init if omitted")
+    p.add_argument("--img_path", type=str, required=True,
+                   help="thermal image or directory of .png frames")
+    p.add_argument("--img_path2", type=str, default=None, help="second view (stereo)")
+    p.add_argument("--img_size", type=int, nargs=2, default=[224, 224])
+    p.add_argument("--output_dir", type=str, default="inference_results")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--no_thermal_model", action="store_true",
+                   help="skip the ThermalDUSt3R preprocessing head")
+    p.add_argument("--fire_scene", action="store_true",
+                   help="fire-scene preprocessing (experiment pipeline)")
+    p.add_argument("--advanced_fire", action="store_true")
+    p.add_argument("--refine_depth", action="store_true",
+                   help="outlier-median + guided + bilateral refinement")
+    p.add_argument("--no_vis", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    return p
+
+
+def _load_params(weights, config):
+    if weights is None:
+        return None
+    if weights.endswith(".pth"):
+        from thermal3d.convert.torch_to_flax import convert_checkpoint
+
+        converted, _ = convert_checkpoint(weights, config)
+        tree = converted["params"]
+        return tree.get("model", tree), tree.get("thermal_preprocess")
+    raise ValueError(f"unsupported weights format: {weights}")
+
+
+def main(argv=None):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from thermal3d.core.config import DUSTR_224_LINEAR
+    from thermal3d.infer.engine import InferenceEngine
+    from thermal3d.preprocess.io import load_thermal_image
+    from thermal3d.viz.panels import visualize_depth_result
+
+    args = build_parser().parse_args(argv)
+    config = dataclasses.replace(DUSTR_224_LINEAR, img_size=tuple(args.img_size),
+                                 compute_dtype=args.compute_dtype)
+    loaded = _load_params(args.weights, config)
+    params, head_params = (loaded if loaded else (None, None))
+    engine = InferenceEngine(config, params=params,
+                             use_thermal_head=not args.no_thermal_model,
+                             thermal_head_params=head_params)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if os.path.isdir(args.img_path):
+        paths = sorted(glob.glob(os.path.join(args.img_path, "*.png")))
+    else:
+        paths = [args.img_path]
+
+    if args.img_path2:  # stereo pair mode
+        g1 = load_thermal_image(args.img_path, normalize=True)
+        g2 = load_thermal_image(args.img_path2, normalize=True)
+        out = engine.infer(np.stack([g1]), np.stack([g2]))
+        _save_one(args, out, 0, args.img_path, engine)
+        return
+
+    if args.fire_scene or args.advanced_fire:
+        from thermal3d.preprocess.fire_scene import (
+            advanced_fire_scene_processing, preprocess_fire_scene_thermal)
+
+        fn = advanced_fire_scene_processing if args.advanced_fire else \
+            preprocess_fire_scene_thermal
+        for i, path in enumerate(paths):
+            gray = load_thermal_image(path, normalize=True)
+            if gray is None:
+                continue
+            import jax
+
+            resized = np.asarray(jax.image.resize(jnp.asarray(gray),
+                                                  tuple(args.img_size), "bilinear"))
+            proc = np.asarray(fn(resized))
+            out = engine.infer(proc[None], preprocessed=True)
+            _save_one(args, out, 0, path, engine)
+        return
+
+    out = engine.infer_paths(paths, batch_size=args.batch_size)
+    for i, path in enumerate(paths[: len(out.get("depth", []))]):
+        _save_one(args, out, i, path, engine)
+    print(f"Processed {len(paths)} frames -> {args.output_dir}")
+
+
+def _save_one(args, out, i, path, engine):
+    base = os.path.splitext(os.path.basename(path))[0]
+    depth = out["depth"][i]
+    if args.refine_depth:
+        from thermal3d.preprocess.io import load_thermal_image
+        from thermal3d.preprocess.refine import refine_depth
+
+        import jax
+        import jax.numpy as jnp
+
+        gray = load_thermal_image(path, normalize=True)
+        gray = np.asarray(jax.image.resize(jnp.asarray(gray), depth.shape, "bilinear"))
+        depth = np.asarray(refine_depth(jnp.asarray(depth), jnp.asarray(gray)))
+    np.save(os.path.join(args.output_dir, f"{base}_depth.npy"), depth)
+    if not args.no_vis:
+        visualize_depth_result(
+            _thermal_vis(path, depth), depth, out["confidence1"][i],
+            save_path=os.path.join(args.output_dir, f"{base}_depth_vis.png"))
+
+
+def _thermal_vis(path, depth):
+    from thermal3d.preprocess.io import preprocess_thermal_for_model
+
+    img = preprocess_thermal_for_model(path, depth.shape)
+    return img if img is not None else np.zeros((*depth.shape, 3), np.float32)
+
+
+if __name__ == "__main__":
+    main()

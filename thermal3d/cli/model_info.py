@@ -1,0 +1,130 @@
+"""Model/checkpoint introspection — `python -m thermal3d.cli.model_info`.
+
+Re-design of scripts/model_info.py (SURVEY.md C25): parameter counting and
+grouping (enc_/dec_/head), architecture reconstruction from key patterns, and
+— new here — a conversion validator that diffs a torch state dict against
+`expected_torch_keys` for a config (catches key/shape drift before training).
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+from collections import OrderedDict
+from typing import Dict
+
+import numpy as np
+
+
+def param_stats(tree_or_state: Dict) -> Dict:
+    """Count/group parameters. Accepts a flax param tree or a flat torch-style
+    state dict (scripts/model_info.py:8-157)."""
+    flat = {}
+
+    def flatten(node, prefix=""):
+        if hasattr(node, "shape"):
+            flat[prefix.rstrip(".")] = node
+            return
+        for k, v in node.items():
+            flatten(v, f"{prefix}{k}.")
+
+    flatten(tree_or_state)
+    groups = {"encoder": 0, "decoder": 0, "head": 0, "other": 0}
+    layer_types: Dict[str, int] = {}
+    total = 0
+    for key, value in flat.items():
+        n = int(np.prod(value.shape)) if value.shape else 1
+        total += n
+        kl = key.lower()
+        if "enc" in kl or "patch_embed" in kl:
+            groups["encoder"] += n
+        elif "dec" in kl:
+            groups["decoder"] += n
+        elif "head" in kl:
+            groups["head"] += n
+        else:
+            groups["other"] += n
+        leaf = key.split(".")[-1]
+        layer_types[leaf] = layer_types.get(leaf, 0) + n
+    return {"total": total, "groups": groups, "layer_types": layer_types, "n_tensors": len(flat)}
+
+
+def reconstruct_architecture(state: Dict[str, np.ndarray]) -> Dict:
+    """Infer block counts / dims / heads from a torch state dict's key layout
+    (scripts/model_info.py:158-334)."""
+    arch: Dict = OrderedDict()
+    for comp in ("patch_embed", "enc_blocks", "dec_blocks", "dec_blocks2"):
+        block_ids = set()
+        pat = re.compile(rf"{comp}\.(\d+)\.")
+        for k in state:
+            m = pat.match(k)
+            if m:
+                block_ids.add(int(m.group(1)))
+        if block_ids or any(k.startswith(comp) for k in state):
+            arch[comp] = {"n_blocks": len(block_ids)}
+    if "patch_embed.proj.weight" in state:
+        w = state["patch_embed.proj.weight"]
+        arch["patch_embed"].update(embed_dim=int(w.shape[0]), patch_size=int(w.shape[2]))
+    for comp in ("enc_blocks", "dec_blocks"):
+        qkv = f"{comp}.0.attn.qkv.weight"
+        if qkv in state:
+            dim = int(state[qkv].shape[1])
+            arch[comp]["embed_dim"] = dim
+            # head count isn't in shapes; report the standard dim/64 convention
+            arch[comp]["num_heads_dim64"] = dim // 64
+        if any("cross_attn" in k and comp in k for k in state):
+            arch[comp]["attention"] = "Self + Cross Attention"
+    arch["heads"] = sorted({k.split(".")[0] for k in state if "head" in k.split(".")[0]})
+    return arch
+
+
+def validate_against_config(state: Dict[str, np.ndarray], config) -> Dict:
+    from thermal3d.convert.torch_to_flax import expected_torch_keys
+
+    expected = expected_torch_keys(config)
+    missing = sorted(set(expected) - set(state))
+    unexpected = sorted(set(state) - set(expected))
+    shape_mismatches = {
+        k: (tuple(np.asarray(state[k]).shape), expected[k])
+        for k in set(expected) & set(state)
+        if tuple(np.asarray(state[k]).shape) != expected[k]
+    }
+    return {"missing": missing, "unexpected": unexpected,
+            "shape_mismatches": shape_mismatches}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Inspect a DUSt3R checkpoint")
+    parser.add_argument("--checkpoint", type=str, required=True, help=".pth file")
+    parser.add_argument("--validate", action="store_true",
+                        help="diff against the DUSt3R-224-linear key spec")
+    parser.add_argument("--config", type=str, default="dustr224",
+                        choices=["dustr224", "mastr512"])
+    args = parser.parse_args(argv)
+
+    from thermal3d.convert.torch_to_flax import load_torch_checkpoint
+    from thermal3d.core.config import DUSTR_224_LINEAR, MASTR_512_CATMLPDPT
+
+    state = load_torch_checkpoint(args.checkpoint)
+    state = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+             for k, v in state.items()}
+    stats = param_stats(state)
+    print(f"Total parameters: {stats['total']:,} in {stats['n_tensors']} tensors")
+    for g, n in stats["groups"].items():
+        print(f"  {g:<8}: {n:,} ({100 * n / max(stats['total'], 1):.1f}%)")
+    arch = reconstruct_architecture(state)
+    print("\nArchitecture:")
+    for comp, info in arch.items():
+        print(f"  {comp}: {info}")
+    if args.validate:
+        cfg = DUSTR_224_LINEAR if args.config == "dustr224" else MASTR_512_CATMLPDPT
+        report = validate_against_config(state, cfg)
+        print(f"\nValidation: {len(report['missing'])} missing, "
+              f"{len(report['unexpected'])} unexpected, "
+              f"{len(report['shape_mismatches'])} shape mismatches")
+        return report
+    return stats
+
+
+if __name__ == "__main__":
+    main()

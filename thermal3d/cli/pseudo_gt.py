@@ -1,0 +1,65 @@
+"""Generate pseudo-GT with frozen MASt3R — `python -m thermal3d.cli.pseudo_gt`.
+
+Mirrors scripts/pseudo_gt.py:613-661 (+ the test-set variant,
+scripts/test_pseudo_gt.py, via --test_set).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Generate pseudo-GT from RGB pairs with MASt3R")
+    p.add_argument("--dataset_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--weights", type=str, default=None,
+                   help="MASt3R .pth checkpoint (converted); random init if omitted")
+    p.add_argument("--img_size", type=int, nargs=2, default=[512, 512])
+    p.add_argument("--frame_skip", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument("--calib_file", type=str, default=None)
+    p.add_argument("--max_pairs", type=int, default=None)
+    p.add_argument("--test_set", action="store_true",
+                   help="monocular test-set mode (test_pseudo_gt.py layout)")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    return p
+
+
+def main(argv=None):
+    import dataclasses
+
+    from thermal3d.core.config import MASTR_512_CATMLPDPT
+    from thermal3d.data.freiburg import build_rgb_pair_index, build_rgb_thermal_index
+    from thermal3d.pseudo_gt.generator import PseudoGTGenerator, generate_pseudo_gt
+    from thermal3d.pseudo_gt.test_set import generate_test_set_pseudo_gt
+
+    args = build_parser().parse_args(argv)
+    config = dataclasses.replace(MASTR_512_CATMLPDPT, img_size=tuple(args.img_size),
+                                 compute_dtype=args.compute_dtype)
+    params = None
+    if args.weights:
+        from thermal3d.convert.torch_to_flax import convert_checkpoint
+
+        converted, report = convert_checkpoint(args.weights, config)
+        print(f"Converted MASt3R checkpoint: {len(report['converted'])} tensors")
+        params = converted["params"]
+    gen = PseudoGTGenerator(config, params=params, batch_size=args.batch_size,
+                            calib_file=args.calib_file)
+
+    if args.test_set:
+        frames = build_rgb_thermal_index(args.dataset_dir)
+        n = generate_test_set_pseudo_gt(frames, args.output_dir, gen,
+                                        max_frames=args.max_pairs)
+    else:
+        pairs = build_rgb_pair_index(args.dataset_dir, frame_skip=args.frame_skip)
+        print(f"Created {len(pairs)} RGB pairs")
+        n = generate_pseudo_gt(pairs, args.output_dir, gen,
+                               visualize=args.visualize, max_pairs=args.max_pairs)
+    print(f"Pseudo-GT generation complete: {n} items -> {args.output_dir}")
+    return n
+
+
+if __name__ == "__main__":
+    main()

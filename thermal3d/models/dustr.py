@@ -22,7 +22,7 @@ MASt3R configs add "desc" [B,H,W,24] and "desc_conf" [B,H,W].
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -121,13 +121,23 @@ class AsymmetricCroCo3DStereo(nn.Module):
             return head(hooked, grid)
         return head(hooked, grid, outs_f32[0], outs_f32[-1])
 
-    def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray) -> Tuple[Dict, Dict]:
+    def __call__(self, img1: jnp.ndarray, img2: Optional[jnp.ndarray] = None
+                 ) -> Tuple[Dict, Dict]:
         """img1/img2: [B, H, W, 3] in [0, 1] (the reference feeds [0,1] thermal
-        frames straight into the network — no (-1,1) renorm in its pipeline)."""
+        frames straight into the network — no (-1,1) renorm in its pipeline).
+
+        img2=None → monocular mode (view2 = view1,
+        thermal_dustr_inference.py:87-92): the shared encoder runs ONCE — the
+        reference encodes the identical image twice; skipping the duplicate
+        halves encoder FLOPs on the serving path."""
         b = img1.shape[0]
-        # encode both views in a single batched pass (shared weights)
-        feats, pos, grid = self.encode(jnp.concatenate([img1, img2], axis=0))
-        f1, f2 = feats[:b], feats[b:]
+        if img2 is None:
+            f1, pos, grid = self.encode(img1)
+            f2 = f1
+        else:
+            # encode both views in a single batched pass (shared weights)
+            feats, pos, grid = self.encode(jnp.concatenate([img1, img2], axis=0))
+            f1, f2 = feats[:b], feats[b:]
         outs1, outs2 = self.decode(f1, f2, pos)
         res1 = self._run_head(self.head1, outs1, grid)
         res2 = self._run_head(self.head2, outs2, grid)

@@ -1,0 +1,143 @@
+"""Pseudo-GT generation: frozen MASt3R-512 over RGB temporal pairs.
+
+TPU re-design of scripts/pseudo_gt.py:507-611. The reference runs one pair at
+a time under no_grad and does intrinsics/pose estimation on the host in numpy;
+here forward + intrinsics (median focal fit, pseudo_gt.py:137-184) + Umeyama
+relative pose (pseudo_gt.py:186-229) are ONE jitted batched program (the
+geometry is vmapped on device), and only the .npy writes stay on host.
+
+Output layout is byte-compatible with the reference's 8 directories
+(pseudo_gt.py:519-592): pointmap1/2, confidence1/2 by pair name;
+depth1/2 by single-image base name; intrinsics, poses by pair name.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thermal3d.core.config import MASTR_512_CATMLPDPT, DustrModelConfig
+from thermal3d.geometry.calibration import load_thermal_calibration
+from thermal3d.geometry.intrinsics import estimate_camera_intrinsics_jit
+from thermal3d.geometry.umeyama import extract_relative_pose_jit
+from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+from thermal3d.preprocess.io import load_rgb_image
+
+OUTPUT_DIRS = ("pointmap1", "pointmap2", "confidence1", "confidence2",
+               "depth1", "depth2", "intrinsics", "poses")
+
+
+class PseudoGTGenerator:
+    def __init__(self, config: DustrModelConfig = MASTR_512_CATMLPDPT,
+                 params: Optional[Dict] = None, batch_size: int = 4,
+                 calib_file: Optional[str] = None, rng_seed: int = 0):
+        self.config = config
+        self.batch_size = batch_size
+        self.model = AsymmetricCroCo3DStereo(config)
+        h, w = config.img_size
+        if params is None:
+            dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+            params = jax.jit(lambda k: self.model.init(k, dummy, dummy))(
+                jax.random.key(rng_seed))["params"]
+        self.params = params
+        self.calib_k = None
+        if calib_file and os.path.exists(calib_file):
+            try:
+                self.calib_k, _, _ = load_thermal_calibration(calib_file)
+            except Exception:
+                self.calib_k = None  # fall back to estimation (pseudo_gt.py:148)
+        self._step = jax.jit(self._step_impl)
+
+    def _step_impl(self, params, rgb1, rgb2):
+        """rgb*: [B, H, W, 3] in [0,1] → all pseudo-GT tensors, on device."""
+        pred1, pred2 = self.model.apply({"params": params}, rgb1, rgb2)
+        pm1 = pred1["pts3d"].astype(jnp.float32)
+        pm2 = pred2["pts3d_in_other_view"].astype(jnp.float32)
+        c1 = pred1["conf"].astype(jnp.float32)
+        c2 = pred2["conf"].astype(jnp.float32)
+        d1 = pm1[..., 2]
+        d2 = pm2[..., 2]
+        k = jax.vmap(estimate_camera_intrinsics_jit)(pm1, d1)
+        pose = jax.vmap(extract_relative_pose_jit)(pm1, pm2)
+        return {"pointmap1": pm1, "pointmap2": pm2, "confidence1": c1,
+                "confidence2": c2, "depth1": d1, "depth2": d2,
+                "intrinsics": k, "poses": pose}
+
+    def run_pairs(self, rgb1: np.ndarray, rgb2: np.ndarray) -> Dict[str, np.ndarray]:
+        out = self._step(self.params, jnp.asarray(rgb1), jnp.asarray(rgb2))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _resize_rgb(img: np.ndarray, hw) -> np.ndarray:
+    try:
+        import cv2
+
+        return cv2.resize(img, (hw[1], hw[0]))
+    except Exception:
+        return np.asarray(jax.image.resize(jnp.asarray(img), (*hw, 3), method="bilinear"))
+
+
+def generate_pseudo_gt(pairs: List[Dict[str, str]], output_dir: str,
+                       generator: Optional[PseudoGTGenerator] = None,
+                       batch_size: int = 4, visualize: bool = False,
+                       calib_file: Optional[str] = None,
+                       max_pairs: Optional[int] = None) -> int:
+    """pairs: entries from data.freiburg.build_rgb_pair_index. Returns the
+    number of pairs written."""
+    if generator is None:
+        generator = PseudoGTGenerator(batch_size=batch_size, calib_file=calib_file)
+    for d in OUTPUT_DIRS:
+        os.makedirs(os.path.join(output_dir, d), exist_ok=True)
+    vis_dir = os.path.join(output_dir, "visualizations")
+    if visualize:
+        os.makedirs(vis_dir, exist_ok=True)
+
+    hw = generator.config.img_size
+    n_written = 0
+    if max_pairs is not None:
+        pairs = pairs[:max_pairs]
+    bs = generator.batch_size
+    for i in range(0, len(pairs), bs):
+        chunk = pairs[i : i + bs]
+        imgs1, imgs2, names = [], [], []
+        for pr in chunk:
+            a = load_rgb_image(pr["rgb_path1"])
+            b = load_rgb_image(pr["rgb_path2"])
+            if a is None or b is None:
+                continue
+            imgs1.append(_resize_rgb(a, hw))
+            imgs2.append(_resize_rgb(b, hw))
+            b1 = os.path.splitext(os.path.basename(pr["rgb_path1"]))[0]
+            b2 = os.path.splitext(os.path.basename(pr["rgb_path2"]))[0]
+            names.append((b1, b2))
+        if not imgs1:
+            continue
+        real = len(imgs1)
+        while len(imgs1) < bs:  # pad to static batch
+            imgs1.append(imgs1[-1])
+            imgs2.append(imgs2[-1])
+        out = generator.run_pairs(np.stack(imgs1), np.stack(imgs2))
+        if generator.calib_k is not None:
+            out["intrinsics"] = np.tile(generator.calib_k[None], (bs, 1, 1)).astype(np.float32)
+        for j, (b1, b2) in enumerate(names[:real]):
+            pair_name = f"{b1}_{b2}"
+            np.save(os.path.join(output_dir, "pointmap1", f"{pair_name}.npy"), out["pointmap1"][j])
+            np.save(os.path.join(output_dir, "pointmap2", f"{pair_name}.npy"), out["pointmap2"][j])
+            np.save(os.path.join(output_dir, "confidence1", f"{pair_name}.npy"), out["confidence1"][j])
+            np.save(os.path.join(output_dir, "confidence2", f"{pair_name}.npy"), out["confidence2"][j])
+            np.save(os.path.join(output_dir, "depth1", f"{b1}.npy"), out["depth1"][j])
+            np.save(os.path.join(output_dir, "depth2", f"{b2}.npy"), out["depth2"][j])
+            np.save(os.path.join(output_dir, "intrinsics", f"{pair_name}.npy"), out["intrinsics"][j])
+            np.save(os.path.join(output_dir, "poses", f"{pair_name}.npy"), out["poses"][j])
+            if visualize and n_written < 10:
+                from thermal3d.viz.panels import visualize_data
+
+                visualize_data(imgs1[j], imgs2[j], out["depth1"][j], out["depth2"][j],
+                               save_path=os.path.join(vis_dir, f"{pair_name}.png"))
+            n_written += 1
+    return n_written

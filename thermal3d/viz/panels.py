@@ -1,0 +1,239 @@
+"""Visualization suite — host-side matplotlib (SURVEY.md C24, L8).
+
+Same panel layouts and colormaps as utils/visualize.py so artifacts are
+directly comparable: plasma for depth, 'hot' for edge maps, JET with the fixed
+Freiburg display window 21800..23700 for raw IR (visualize.py:577-596),
+2×2 / 2×3 wandb sample grids (visualize.py:85-230), pseudo-GT 2×2 data panels
+(pseudo_gt.py:345-377), 3-panel eval comparisons
+(evaluate_depth_metrics.py:329-365), and 3-D point-cloud scatter with camera
+frusta (visualize.py:396-461).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from thermal3d.core.config import FREIBURG_RAW_MIN, FREIBURG_VIZ_MAX  # noqa: E402
+
+
+def _to_hwc(img) -> np.ndarray:
+    img = np.asarray(img)
+    if img.ndim == 3 and img.shape[0] in (1, 3) and img.shape[-1] not in (1, 3):
+        img = img.transpose(1, 2, 0)
+    return img
+
+
+def _depth_limits(*depths):
+    vmin = min(float(np.min(d)) for d in depths)
+    vmax = max(float(np.max(d)) for d in depths)
+    if vmin == vmax:
+        vmin, vmax = vmin - 0.1, vmax + 0.1
+    return vmin, vmax
+
+
+def _edge_map(thermal: np.ndarray) -> np.ndarray:
+    gray = thermal.mean(axis=-1) if thermal.ndim == 3 else thermal
+    gx = np.zeros_like(gray)
+    gy = np.zeros_like(gray)
+    gx[:, :-1] = np.abs(gray[:, 1:] - gray[:, :-1])
+    gy[:-1, :] = np.abs(gray[1:, :] - gray[:-1, :])
+    return gx + gy
+
+
+def sample_figure(thermal1, thermal2, pred_depth1, gt_depth1, with_edges: bool = False):
+    """2×2 (or 2×3 with edge/gradient maps) training sample panel."""
+    t1, t2 = _to_hwc(thermal1), _to_hwc(thermal2)
+    pd, gd = np.asarray(pred_depth1), np.asarray(gt_depth1)
+    cols = 3 if with_edges else 2
+    fig, axes = plt.subplots(2, cols, figsize=(5 * cols + 2, 10), constrained_layout=True)
+    axes[0, 0].imshow(t1)
+    axes[0, 0].set_title("Thermal Image 1")
+    axes[0, 1].imshow(t2)
+    axes[0, 1].set_title("Thermal Image 2")
+    vmin, vmax = _depth_limits(pd, gd)
+    im1 = axes[1, 0].imshow(pd, cmap="plasma", vmin=vmin, vmax=vmax)
+    axes[1, 0].set_title("Predicted Depth 1")
+    axes[1, 1].imshow(gd, cmap="plasma", vmin=vmin, vmax=vmax)
+    axes[1, 1].set_title("GT Depth 1")
+    if with_edges:
+        axes[0, 2].imshow(_edge_map(t1), cmap="hot")
+        axes[0, 2].set_title("Thermal Edges")
+        dgrad = (np.abs(np.gradient(pd, axis=1)) + np.abs(np.gradient(pd, axis=0)))
+        axes[1, 2].imshow(dgrad, cmap="hot")
+        axes[1, 2].set_title("Depth Gradients")
+    for ax in axes.ravel():
+        ax.axis("off")
+    cbar = fig.colorbar(im1, ax=axes.ravel().tolist(), shrink=0.6, pad=0.02)
+    cbar.set_label("Depth")
+    return fig
+
+
+def log_sample_images(logger, thermal1, thermal2, pred_depth1, gt_depth1, sample_name):
+    fig = sample_figure(thermal1, thermal2, pred_depth1, gt_depth1, with_edges=False)
+    logger.log_images(sample_name, {"panel": fig})
+    plt.close(fig)
+
+
+def log_sample_images_with_edges(logger, thermal1, thermal2, pred_depth1, gt_depth1,
+                                 sample_name):
+    fig = sample_figure(thermal1, thermal2, pred_depth1, gt_depth1, with_edges=True)
+    logger.log_images(sample_name, {"panel": fig})
+    plt.close(fig)
+
+
+def visualize_data(rgb1, rgb2, depth1, depth2, save_path: Optional[str] = None):
+    """Pseudo-GT 2×2 panel: RGB pair over depth pair (pseudo_gt.py:345-377)."""
+    fig = plt.figure(figsize=(12, 6))
+    for i, (img, title) in enumerate([
+        (_to_hwc(rgb1), "RGB Image 1"), (_to_hwc(rgb2), "RGB Image 2"),
+    ]):
+        plt.subplot(2, 2, i + 1)
+        plt.imshow(np.clip(img, 0, 1))
+        plt.title(title)
+        plt.axis("off")
+    vmin, vmax = _depth_limits(depth1, depth2)
+    for i, (d, title) in enumerate([(depth1, "Depth 1"), (depth2, "Depth 2")]):
+        plt.subplot(2, 2, i + 3)
+        plt.imshow(np.asarray(d), cmap="plasma", vmin=vmin, vmax=vmax)
+        plt.title(title)
+        plt.axis("off")
+        plt.colorbar(shrink=0.8)
+    plt.tight_layout()
+    if save_path:
+        plt.savefig(save_path, dpi=150)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def save_comparison_panel(thermal_path: str, pred_depth, gt_depth, rmse: float,
+                          save_path: str):
+    """3-panel thermal | predicted | GT (evaluate_depth_metrics.py:329-365)."""
+    fig = plt.figure(figsize=(15, 5))
+    plt.subplot(1, 3, 1)
+    try:
+        import cv2
+
+        img = cv2.imread(thermal_path)
+        if img is not None:
+            if img.ndim == 2:
+                plt.imshow(img, cmap="hot")
+            else:
+                plt.imshow(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        else:
+            plt.text(0.5, 0.5, "Image not available", ha="center", va="center")
+    except Exception:
+        plt.text(0.5, 0.5, "Image not available", ha="center", va="center")
+    plt.title("Thermal Input")
+    plt.axis("off")
+    plt.subplot(1, 3, 2)
+    plt.imshow(np.asarray(pred_depth), cmap="plasma")
+    plt.title(f"Predicted Depth\nRMSE: {rmse:.4f}")
+    plt.axis("off")
+    plt.subplot(1, 3, 3)
+    plt.imshow(np.asarray(gt_depth), cmap="plasma")
+    plt.title("Pseudo-GT Depth")
+    plt.axis("off")
+    plt.tight_layout()
+    plt.savefig(save_path, dpi=200)
+    plt.close(fig)
+
+
+def visualize_ir(thermal_raw: np.ndarray, save_path: Optional[str] = None):
+    """Raw IR display: JET colormap over the fixed 21800..23700 window
+    (visualize.py:577-596)."""
+    fig = plt.figure(figsize=(8, 6))
+    plt.imshow(np.asarray(thermal_raw), cmap="jet",
+               vmin=FREIBURG_RAW_MIN, vmax=FREIBURG_VIZ_MAX)
+    plt.colorbar(label="Raw counts")
+    plt.axis("off")
+    if save_path:
+        plt.savefig(save_path, dpi=150)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def overlay_rgb_thermal(rgb: np.ndarray, thermal: np.ndarray, alpha: float = 0.5
+                        ) -> np.ndarray:
+    """RGB/thermal blend (visualize.py:608-618). Returns [H,W,3] float."""
+    rgb = np.clip(_to_hwc(rgb), 0, 1)
+    t = np.asarray(thermal, dtype=np.float32)
+    if t.ndim == 3:
+        t = t.mean(axis=-1)
+    t = (t - t.min()) / (t.max() - t.min() + 1e-6)
+    heat = plt.get_cmap("jet")(t)[..., :3]
+    return (1 - alpha) * rgb + alpha * heat
+
+
+def plot_point_cloud(pointmap, color_img=None, pose=None, subsample: int = 4,
+                     save_path: Optional[str] = None):
+    """3-D scatter of a pointmap with optional camera frustum
+    (visualize.py:396-461)."""
+    pts = np.asarray(pointmap)[::subsample, ::subsample].reshape(-1, 3)
+    valid = np.isfinite(pts).all(axis=1) & (pts[:, 2] > 0)
+    pts = pts[valid]
+    if color_img is not None:
+        colors = np.clip(_to_hwc(color_img), 0, 1)[::subsample, ::subsample]
+        colors = colors.reshape(-1, 3)[valid]
+    else:
+        colors = pts[:, 2]
+    fig = plt.figure(figsize=(10, 8))
+    ax = fig.add_subplot(111, projection="3d")
+    sc = ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=colors, s=1,
+                    cmap=None if color_img is not None else "plasma")
+    if color_img is None:
+        fig.colorbar(sc, shrink=0.6, label="Depth")
+    if pose is not None:
+        pose = np.asarray(pose)
+        origin = pose[:3, 3]
+        scale = float(np.percentile(pts[:, 2], 50)) * 0.15 if len(pts) else 1.0
+        for k, c in zip(range(3), "rgb"):
+            axis = pose[:3, k] * scale
+            ax.plot([origin[0], origin[0] + axis[0]],
+                    [origin[1], origin[1] + axis[1]],
+                    [origin[2], origin[2] + axis[2]], c=c)
+    ax.set_xlabel("X")
+    ax.set_ylabel("Y")
+    ax.set_zlabel("Z")
+    if save_path:
+        plt.savefig(save_path, dpi=150)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def visualize_depth_result(thermal_img, depth, confidence=None,
+                           save_path: Optional[str] = None):
+    """Inference result panel: input | depth | confidence
+    (thermal_dustr_inference.py:162-294)."""
+    n = 3 if confidence is not None else 2
+    fig = plt.figure(figsize=(5 * n, 5))
+    plt.subplot(1, n, 1)
+    plt.imshow(np.clip(_to_hwc(thermal_img), 0, 1))
+    plt.title("Thermal Input")
+    plt.axis("off")
+    plt.subplot(1, n, 2)
+    plt.imshow(np.asarray(depth), cmap="plasma")
+    plt.colorbar(shrink=0.8)
+    plt.title("Predicted Depth")
+    plt.axis("off")
+    if confidence is not None:
+        plt.subplot(1, n, 3)
+        plt.imshow(np.asarray(confidence), cmap="viridis")
+        plt.colorbar(shrink=0.8)
+        plt.title("Confidence")
+        plt.axis("off")
+    plt.tight_layout()
+    if save_path:
+        plt.savefig(save_path, dpi=150)
+        plt.close(fig)
+        return None
+    return fig
