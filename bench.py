@@ -24,6 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from thermal3d.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from thermal3d.core.config import DUSTR_224_LINEAR
     from thermal3d.models.dustr import AsymmetricCroCo3DStereo
     from thermal3d.models.thermal_wrap import ThermalPreprocessHead
