@@ -186,3 +186,37 @@ def test_viz_panels_smoke(tmp_path, rng):
     pm = np.concatenate([rng.standard_normal((16, 16, 2)), d[..., None]], axis=-1)
     plot_point_cloud(pm, color_img=t, pose=np.eye(4), save_path=str(tmp_path / "pc.png"))
     assert all((tmp_path / f).exists() for f in ["vd.png", "vr.png", "ir.png", "pc.png"])
+
+
+def test_viz_sampler_and_pairs(tmp_path, rng):
+    from thermal3d.viz.sampler import sample_dataset, visualize_pair, visualize_pair_merged
+
+    class DS:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {
+                "thermal1": rng.uniform(21000, 26000, (16, 16, 3)).astype(np.float32),
+                "thermal2": rng.uniform(21000, 26000, (16, 16, 3)).astype(np.float32),
+                "pointmap1": rng.uniform(0.1, 5, (16, 16, 3)).astype(np.float32),
+            }
+
+    t = rng.uniform(0, 1, (16, 16)).astype(np.float32)
+    visualize_pair(t, t, t, t, save_path=str(tmp_path / "pair.png"))
+    visualize_pair_merged(t, t, t * 5, t * 4, pose=np.eye(4),
+                          save_path=str(tmp_path / "merged.png"))
+    sample_dataset(DS(), n=3, save_path=str(tmp_path / "samples.png"))
+    assert all((tmp_path / f).exists() for f in ["pair.png", "merged.png", "samples.png"])
+
+
+def test_shard_batch_multihost_single_host(rng):
+    import jax
+
+    from thermal3d.core.mesh import make_mesh, shard_batch_multihost
+
+    mesh = make_mesh((-1,), ("data",), devices=jax.devices("cpu"))
+    batch = {"x": rng.standard_normal((8, 4)).astype(np.float32)}
+    out = shard_batch_multihost(mesh, batch)
+    assert out["x"].shape == (8, 4)
+    np.testing.assert_allclose(np.asarray(out["x"]), batch["x"])

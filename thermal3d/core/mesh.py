@@ -55,6 +55,19 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(_put, batch)
 
 
+def shard_batch_multihost(mesh: Mesh, batch):
+    """Multi-host variant: each process supplies its LOCAL shard of the global
+    batch; jax assembles the logically-global arrays across hosts over DCN
+    (SURVEY.md §2.3 — jax.make_array_from_process_local_data). On a single
+    host this is equivalent to shard_batch."""
+    def _put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh, x.ndim), x)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
 def local_batch_size(mesh: Mesh, global_batch_size: int) -> int:
     n = mesh.shape.get("data", 1)
     if global_batch_size % n:

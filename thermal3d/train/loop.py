@@ -72,6 +72,21 @@ def train_and_evaluate(
                 continue
             state, metrics = train_step(state, shard_batch(mesh, batch))
             loss = float(metrics["loss"])
+            if cfg.log_interval and global_step % cfg.log_interval == 0:
+                # wandb sample panels every log_interval steps (train:325-347)
+                try:
+                    from thermal3d.viz.panels import (
+                        log_sample_images, log_sample_images_with_edges)
+
+                    log_fn = (log_sample_images_with_edges if cfg.use_enhanced_loss
+                              else log_sample_images)
+                    log_fn(logger, batch["thermal1"][0] / max(batch["thermal1"][0].max(), 1e-6),
+                           batch["thermal2"][0] / max(batch["thermal2"][0].max(), 1e-6),
+                           np.asarray(metrics["sample_pred_depth"]),
+                           np.asarray(metrics["sample_gt_depth"]),
+                           f"sample_ep{epoch + 1}_step{global_step}")
+                except Exception:
+                    pass  # visualization must never kill training
             if np.isfinite(loss):
                 running += loss
                 nb += 1

@@ -94,14 +94,20 @@ def make_train_step(model, cfg: TrainConfig, mesh: Optional[Mesh] = None) -> Cal
     def train_step(state, batch):
         batch = _prepare_views(batch)
 
-        def loss_fn(params):
+        def loss_and_sample(params):
             pred1, pred2 = model.apply(
                 {"params": params}, batch["thermal1_enh"], batch["thermal2_enh"]
             )
             pred_hw = pred1["pts3d"].shape[1:3]
-            return _batch_loss(pred1, pred2, batch, pred_hw, cfg)
+            loss, comps = _batch_loss(pred1, pred2, batch, pred_hw, cfg)
+            # first-sample depths for wandb panels (train:325-347); tiny
+            comps = dict(comps)
+            comps["sample_pred_depth"] = pred1["pts3d"][0, :, :, 2]
+            comps["sample_gt_depth"] = _resize_gt_to(pred_hw, batch["pointmap1"])[0, :, :, 2]
+            return loss, comps
 
-        (loss, comps), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, comps), grads = jax.value_and_grad(loss_and_sample, has_aux=True)(
+            state.params)
         new_state = state.apply_gradients(grads=grads)
         metrics = dict(comps)
         metrics["loss"] = loss
