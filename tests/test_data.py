@@ -161,3 +161,34 @@ def test_split_index_disjoint():
     assert not set(tr) & set(va)
     tr2, _ = split_index(100, val_fraction=0.2, seed=0)
     np.testing.assert_array_equal(tr, tr2)  # deterministic
+
+
+def test_rgb_thermal_dataset_and_factory(freiburg_tree, tmp_path, rng):
+    from thermal3d.data.freiburg import (
+        FreiburgRGBThermalDataset, create_freiburg_dataloaders)
+
+    root, _ = freiburg_tree
+    # flat pseudo-GT layout: depth/intrinsics/poses by frame base name
+    gt = tmp_path / "flat_gt"
+    for sub in ("depth", "intrinsics", "poses"):
+        (gt / sub).mkdir(parents=True)
+    ds0 = FreiburgRGBThermalDataset(str(root), img_size=(16, 16))
+    base = None
+    import os as _os
+    base = _os.path.splitext(_os.path.basename(ds0.pairs[0]["rgb"]))[0]
+    np.save(gt / "depth" / f"{base}.npy", rng.uniform(1, 5, (16, 16)).astype(np.float32))
+    np.save(gt / "intrinsics" / f"{base}.npy", np.eye(3, dtype=np.float32))
+    np.save(gt / "poses" / f"{base}.npy", np.eye(4, dtype=np.float32))
+
+    ds = FreiburgRGBThermalDataset(str(root), img_size=(16, 16),
+                                   use_pseudo_gt=True, pseudo_gt_dir=str(gt))
+    s = ds[0]
+    assert s["rgb"].shape == (16, 16, 3)
+    assert s["thermal"].shape == (16, 16, 3)
+    assert s["depth"].shape == (16, 16)
+    assert s["intrinsics"].shape == (3, 3)
+
+    tr, va = create_freiburg_dataloaders(str(root), batch_size=4, img_size=(16, 16),
+                                         day_only=True)
+    batches = list(tr)
+    assert batches and batches[0]["rgb"].shape == (4, 16, 16, 3)

@@ -211,6 +211,63 @@ def _resize(img: np.ndarray, size_wh: Tuple[int, int]) -> np.ndarray:
     return np.asarray(jax.image.resize(jnp.asarray(img), out_shape, method="bilinear"))
 
 
+class FreiburgRGBThermalDataset:
+    """Per-frame RGB+thermal dataset (SURVEY C7, data/freiburg_dataset.py:14-168):
+    matches RGB↔thermal per frame and attaches the FLAT pseudo-GT layout
+    (depth/, intrinsics/, poses/ keyed by the frame base name)."""
+
+    def __init__(self, root_dir: str, sequences=None, img_size=(224, 224),
+                 use_pseudo_gt: bool = False, pseudo_gt_dir: Optional[str] = None):
+        self.img_size = tuple(img_size)
+        self.pseudo_gt_dir = pseudo_gt_dir if use_pseudo_gt else None
+        self.pairs = build_rgb_thermal_index(root_dir, sequences)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> Optional[Dict[str, np.ndarray]]:
+        pair = self.pairs[idx]
+        h, w = self.img_size
+        rgb = load_rgb_image(pair["rgb"])
+        thermal = load_thermal_image(pair["thermal"], normalize=False)
+        if rgb is None or thermal is None:
+            return None
+        sample: Dict[str, np.ndarray] = {
+            "rgb": _resize(rgb, (w, h)).astype(np.float32),
+            "thermal": np.repeat(_resize(thermal, (w, h))[..., None], 3,
+                                 axis=-1).astype(np.float32),
+        }
+        if self.pseudo_gt_dir:
+            base = os.path.splitext(os.path.basename(pair["rgb"]))[0]
+            for sub, key in [("depth", "depth"), ("intrinsics", "intrinsics"),
+                             ("poses", "pose")]:
+                p = os.path.join(self.pseudo_gt_dir, sub, f"{base}.npy")
+                if os.path.exists(p):
+                    sample[key] = np.load(p).astype(np.float32)
+        return sample
+
+
+def create_freiburg_dataloaders(root_dir: str, batch_size: int = 8,
+                                img_size=(224, 224), split: float = 0.8,
+                                pseudo_gt_dir: Optional[str] = None,
+                                day_only: bool = False, night_only: bool = False,
+                                seed: int = 0):
+    """Loader factory (freiburg_dataset.py:170-206): day/night filter, random
+    0.8 split, train(shuffled)/val loaders."""
+    from thermal3d.data.pipeline import BatchLoader, split_index
+
+    train_dir = os.path.join(root_dir, "train")
+    sequences = day_night_filter(_list_dirs(train_dir), day_only, night_only)
+    dataset = FreiburgRGBThermalDataset(
+        root_dir, sequences=sequences, img_size=img_size,
+        use_pseudo_gt=pseudo_gt_dir is not None, pseudo_gt_dir=pseudo_gt_dir)
+    train_idx, val_idx = split_index(len(dataset), 1.0 - split, seed)
+    train_loader = BatchLoader(dataset, train_idx, batch_size, shuffle=True, seed=seed)
+    val_loader = BatchLoader(dataset, val_idx, batch_size, shuffle=False,
+                             drop_last=False)
+    return train_loader, val_loader
+
+
 class FreiburgPairDataset:
     """Thermal pair dataset with pseudo-GT (SURVEY C6), numpy samples.
 
