@@ -13,10 +13,18 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-# Some environments force-register a TPU plugin that ignores JAX_PLATFORMS;
-# pin the default device to CPU so unit tests are deterministic and exact-f32.
-if jax.default_backend() != "cpu":
+# Some environments force-register a TPU plugin whose registration overrides
+# JAX_PLATFORMS; re-pin via config BEFORE any backend initializes so tests are
+# CPU-only (deterministic, exact-f32) and never touch the TPU link.
+jax.config.update("jax_platforms", "cpu")
+if jax.default_backend() != "cpu":  # pragma: no cover — belt and braces
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+# cache CPU compiles across suite runs (the sharded train-step tests are
+# compile-dominated)
+from thermal3d.core.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
