@@ -151,3 +151,27 @@ def test_train_loop_end_to_end(tiny_config, rng, tmp_path, cpu_devices):
     assert np.isfinite(summary["best_val_loss"])
     import os
     assert os.path.isdir(tmp_path / "ckpt")
+
+
+def test_remat_training(tiny_config, rng):
+    """remat=True trains with identical loss values (FLOPs-for-memory only)."""
+    import dataclasses
+
+    from thermal3d.core.config import TrainConfig as TC
+
+    cfg_r = dataclasses.replace(tiny_config, remat=True)
+    model_r = AsymmetricCroCo3DStereo(cfg_r)
+    model_n = AsymmetricCroCo3DStereo(tiny_config)
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    params = model_n.init(jax.random.key(0), img, img)["params"]
+    tcfg = TC(lr=1e-3)
+    batch = _tiny_batch(rng, b=2)
+    # deep-copy: the train step donates its state, and both states would
+    # otherwise alias the same param buffers
+    params2 = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
+    s_r = create_train_state(model_r, params, tcfg, 10)
+    s_n = create_train_state(model_n, params2, tcfg, 10)
+    _, m_r = make_train_step(model_r, tcfg)(s_r, batch)
+    _, m_n = make_train_step(model_n, tcfg)(s_n, batch)
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_n["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_r["grad_norm"]), float(m_n["grad_norm"]), rtol=1e-4)

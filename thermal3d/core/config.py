@@ -75,6 +75,9 @@ class DustrModelConfig:
     # numerics
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     attention_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    # rematerialize transformer blocks in the backward pass (trade FLOPs for
+    # HBM — lets bigger per-chip batches train at ViT-L scale)
+    remat: bool = False
 
     @property
     def patch_grid(self) -> Tuple[int, int]:

@@ -44,9 +44,11 @@ class AsymmetricCroCo3DStereo(nn.Module):
     def setup(self):
         cfg = self.config
         dt = cfg.dtype
+        enc_cls = nn.remat(EncoderBlock) if cfg.remat else EncoderBlock
+        dec_cls = nn.remat(DecoderBlock) if cfg.remat else DecoderBlock
         self.patch_embed = PatchEmbed(cfg.patch_size, cfg.enc_embed_dim, dt, name="patch_embed")
         self.enc_blocks = [
-            EncoderBlock(
+            enc_cls(
                 cfg.enc_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
                 name=f"enc_blocks_{i}",
             )
@@ -55,14 +57,14 @@ class AsymmetricCroCo3DStereo(nn.Module):
         self.enc_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="enc_norm")
         self.decoder_embed = nn.Dense(cfg.dec_embed_dim, dtype=dt, name="decoder_embed")
         self.dec_blocks = [
-            DecoderBlock(
+            dec_cls(
                 cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
                 name=f"dec_blocks_{i}",
             )
             for i in range(cfg.dec_depth)
         ]
         self.dec_blocks2 = [
-            DecoderBlock(
+            dec_cls(
                 cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
                 name=f"dec_blocks2_{i}",
             )
