@@ -1,0 +1,57 @@
+"""CLI surface: flags exist with the reference's defaults."""
+
+import pytest
+
+
+def test_train_parser_defaults():
+    from thermal3d.cli.train import build_parser
+
+    args = build_parser().parse_args([
+        "--dataset_dir", "d", "--pseudo_gt_dir", "g", "--weights", "w",
+        "--output_model", "o"])
+    # reference defaults (train_thermal_dustr.py:25-58)
+    assert args.epochs == 10 and args.batch_size == 4 and args.lr == 5e-4
+    assert args.img_size == [224, 224] and args.frame_skip == 3
+    assert args.log_interval == 100
+    assert args.edge_weight == 0.5 and args.smoothness_weight == 0.3
+    assert args.detail_weight == 0.4 and args.accumulation_steps == 1
+    assert args.max_batches is None
+    assert not args.use_thermal_aware_loss and not args.multi_scale
+
+
+def test_infer_parser():
+    from thermal3d.cli.infer import build_parser
+
+    args = build_parser().parse_args(["--img_path", "x.png"])
+    assert args.img_size == [224, 224]
+    assert args.output_dir == "inference_results"
+    args2 = build_parser().parse_args(
+        ["--img_path", "a.png", "--img_path2", "b.png", "--fire_scene",
+         "--refine_depth"])
+    assert args2.img_path2 == "b.png" and args2.fire_scene and args2.refine_depth
+
+
+def test_evaluate_parser():
+    from thermal3d.cli.evaluate import build_parser
+
+    args = build_parser().parse_args(
+        ["--thermal_dir", "t", "--pseudo_gt_dir", "g", "--output_dir", "o"])
+    assert args.num_samples == 0  # 0 = all (evaluate_depth_metrics.py:259-261)
+
+
+def test_pseudo_gt_parser():
+    from thermal3d.cli.pseudo_gt import build_parser
+
+    args = build_parser().parse_args(["--dataset_dir", "d", "--output_dir", "o"])
+    assert args.img_size == [512, 512] and args.frame_skip == 5  # pseudo_gt.py defaults
+
+
+def test_grid_search_parser():
+    from thermal3d.cli.grid_search import build_parser
+
+    args = build_parser().parse_args(
+        ["--dataset_dir", "d", "--pseudo_gt_dir", "g", "--weights", "w"])
+    # grid defaults (run_grid_search_thermal_parameters.sh:13-15)
+    assert args.edge_weights == [0.3, 0.5, 0.7]
+    assert args.smoothness_weights == [0.1, 0.3, 0.5]
+    assert args.epochs == 2

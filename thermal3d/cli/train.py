@@ -9,7 +9,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 
-import jax
+
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -14,7 +14,7 @@ Reference parity notes (citations into /root/reference):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 

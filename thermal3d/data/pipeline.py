@@ -11,8 +11,8 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
-import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+from typing import Dict, Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ the sampled estimator. The <10-valid-points identity fallback
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

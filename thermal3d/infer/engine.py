@@ -11,7 +11,7 @@ over a batch, bf16 on the MXU with f32 heads, Pallas fused attention.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Parameter names deliberately mirror the PyTorch checkpoint key layout
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import flax.linen as nn
 import jax.numpy as jnp

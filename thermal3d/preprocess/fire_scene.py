@@ -10,7 +10,7 @@ variant stays on host (it decides mask COUNT, i.e. program structure).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ depth1/2 by single-image base name; intrinsics, poses by pair name.
 
 from __future__ import annotations
 
-import functools
+
 import os
 from typing import Dict, List, Optional
 

@@ -8,9 +8,9 @@ split, per-epoch scheduler, best-on-val checkpoint, early-stop patience 10,
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
-import jax
+
 import numpy as np
 
 from thermal3d.core.config import TrainConfig

@@ -12,7 +12,7 @@ our per-step schedule quantizes step→epoch.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ no explicit collectives.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
