@@ -71,3 +71,28 @@ def test_perfect_prediction(rng):
     ours = compute_depth_metrics(gt.copy(), gt)
     assert ours["abs_rel"] < 1e-6
     assert ours["acc_1"] == 1.0
+
+
+def test_parity_harness(tmp_path, rng):
+    from thermal3d.evaluation.parity import compare_depth_arrays, compare_depth_dirs
+
+    theirs = tmp_path / "theirs"
+    ours = tmp_path / "ours"
+    theirs.mkdir()
+    ours.mkdir()
+    for i in range(3):
+        d = rng.uniform(1, 20, (32, 32)).astype(np.float32)
+        np.save(theirs / f"f{i}_depth.npy", d)
+        # ours: tiny perturbation, well under 1% AbsRel
+        np.save(ours / f"f{i}_depth.npy", d * (1 + 1e-4))
+    np.save(theirs / "f3_depth.npy", rng.uniform(1, 20, (32, 32)).astype(np.float32))
+
+    report = compare_depth_dirs(str(ours), str(theirs),
+                                report_path=str(tmp_path / "parity.json"))
+    s = report["summary"]
+    assert s["n_frames"] == 4 and s["n_compared"] == 3 and s["n_missing"] == 1
+    assert s["within_1pct_abs_rel"]
+    assert (tmp_path / "parity.json").exists()
+
+    exact = compare_depth_arrays(np.ones((4, 4)), np.ones((4, 4)))
+    assert exact["bit_equal"] and exact["max_abs_diff"] == 0.0
