@@ -266,3 +266,40 @@ def test_full_model_numeric_parity(tiny_config, rng):
     np.testing.assert_allclose(
         np.asarray(pred2["pts3d_in_other_view"]), tpts2.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(pred2["conf"]), tconf2.numpy(), atol=2e-4)
+
+
+@pytest.mark.parametrize("head_type", ["linear", "catmlpdpt"])
+def test_roundtrip_torch_flax_torch(tiny_config, rng, head_type):
+    """torch → flax → torch is the identity on every surviving tensor."""
+    from thermal3d.convert.flax_to_torch import export_state_dict
+    from thermal3d.convert.torch_to_flax import convert_state_dict, expected_torch_keys
+
+    cfg = dataclasses.replace(
+        tiny_config,
+        head=HeadConfig(head_type=head_type, feature_dim=32, last_dim=16,
+                        dpt_layer_dims=(8, 16, 24, 32), local_feat_dim=6),
+    )
+    state = {k: rng.standard_normal(s).astype(np.float32)
+             for k, s in expected_torch_keys(cfg).items()}
+    tree, report = convert_state_dict(state, cfg)
+    back = export_state_dict(tree, cfg)
+    skipped = set(report["skipped"])
+    assert set(back) == set(state) - skipped
+    for k in back:
+        np.testing.assert_array_equal(back[k], state[k], err_msg=k)
+
+
+def test_roundtrip_wrapper(tiny_config, rng):
+    from thermal3d.convert.flax_to_torch import export_state_dict
+    from thermal3d.convert.torch_to_flax import convert_state_dict, expected_torch_keys
+
+    state = {"model." + k: rng.standard_normal(s).astype(np.float32)
+             for k, s in expected_torch_keys(tiny_config).items()}
+    state["edge_weight"] = np.asarray(0.4, np.float32)
+    state["temp_scale"] = np.asarray(1.5, np.float32)
+    tree, _ = convert_state_dict(state, tiny_config, wrapper=True)
+    back = export_state_dict(tree, tiny_config, wrapper=True)
+    assert float(back["edge_weight"]) == pytest.approx(0.4)
+    for k in back:
+        if k in state:
+            np.testing.assert_array_equal(back[k], state[k], err_msg=k)
