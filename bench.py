@@ -59,8 +59,21 @@ def main():
         feedback = jnp.tanh(jnp.mean(depth, axis=(1, 2)))[:, None, None] * 1e-4
         return depth, raw0 * (1.0 + feedback)
 
-    depth, raw = step(params, head_params, raw0)  # compile + warmup
-    float(depth[0, 0, 0])
+    # compile + warmup; retry transient remote-compile transport failures
+    # (this harness's compile service can drop long-lived connections)
+    last_err = None
+    for attempt in range(4):
+        try:
+            depth, raw = step(params, head_params, raw0)
+            float(depth[0, 0, 0])
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError UNAVAILABLE
+            last_err = e
+            if "UNAVAILABLE" not in str(e) and "transport" not in str(e):
+                raise
+            time.sleep(60)
+    else:
+        raise last_err
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
