@@ -220,3 +220,38 @@ def test_shard_batch_multihost_single_host(rng):
     out = shard_batch_multihost(mesh, batch)
     assert out["x"].shape == (8, 4)
     np.testing.assert_allclose(np.asarray(out["x"]), batch["x"])
+
+
+def test_evaluate_thermal_depth_model_level(tiny_config, rng):
+    """C21: monocular eval over a dataset with GT depth (metrics.py:72-137)."""
+    from thermal3d.evaluation.evaluator import evaluate_thermal_depth
+    from thermal3d.infer.engine import InferenceEngine
+
+    engine = InferenceEngine(tiny_config, use_thermal_head=False)
+
+    class DS:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return {
+                "thermal1": rng.uniform(21000, 26000, (32, 32, 3)).astype(np.float32),
+                "depth1": rng.uniform(1, 10, (32, 32)).astype(np.float32),
+            }
+
+    m = evaluate_thermal_depth(engine, DS())
+    assert set(m) == {"abs_rel", "sq_rel", "rmse", "rmse_log", "acc_1", "acc_2", "acc_3"}
+    assert np.isfinite(m["rmse"])
+
+
+def test_engine_params_dtype(tiny_config):
+    import jax
+
+    from thermal3d.infer.engine import InferenceEngine
+
+    engine = InferenceEngine(tiny_config, use_thermal_head=False,
+                             params_dtype="bfloat16")
+    leaf = jax.tree_util.tree_leaves(engine.params)[0]
+    assert str(leaf.dtype) == "bfloat16"
+    out = engine.infer(np.full((1, 40, 48), 0.35, np.float32))
+    assert np.isfinite(out["depth"]).all()

@@ -38,6 +38,7 @@ class InferenceEngine:
         use_thermal_head: bool = True,
         thermal_head_params: Optional[Dict] = None,
         rng_seed: int = 0,
+        params_dtype: Optional[str] = None,
     ):
         self.config = config
         self.model = AsymmetricCroCo3DStereo(config)
@@ -45,6 +46,12 @@ class InferenceEngine:
         if params is None:  # random init (tests / benchmarks without ckpt)
             dummy = jnp.zeros((1, h, w, 3), jnp.float32)
             params = self.model.init(jax.random.key(rng_seed), dummy, dummy)["params"]
+        if params_dtype is not None:
+            # store weights in the compute dtype once (e.g. 'bfloat16') so the
+            # forward skips the per-step f32→bf16 weight cast (~1 GB HBM/step
+            # at ViT-L scale)
+            dt = jnp.bfloat16 if params_dtype == "bfloat16" else jnp.dtype(params_dtype)
+            params = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
         self.params = params
         self.use_thermal_head = use_thermal_head
         self._thermal_head = ThermalPreprocessHead()
