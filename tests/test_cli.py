@@ -55,3 +55,54 @@ def test_grid_search_parser():
     assert args.edge_weights == [0.3, 0.5, 0.7]
     assert args.smoothness_weights == [0.1, 0.3, 0.5]
     assert args.epochs == 2
+
+
+def test_cli_infer_end_to_end_tiny(tmp_path, rng):
+    """Full infer CLI on synthetic frames with the tiny preset."""
+    import cv2
+    import numpy as np
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(frames / f"fl_ir_aligned_100{i}_{i}.png"),
+                    rng.integers(21000, 26000, (40, 48)).astype(np.uint16))
+    out = tmp_path / "out"
+    from thermal3d.cli.infer import main
+
+    main(["--img_path", str(frames), "--output_dir", str(out),
+          "--img_size", "32", "32", "--model_preset", "tiny",
+          "--batch_size", "2", "--no_vis"])
+    import glob
+
+    depths = glob.glob(str(out / "*_depth.npy"))
+    assert len(depths) == 2
+    d = np.load(depths[0])
+    assert d.shape == (32, 32) and np.isfinite(d).all()
+
+
+def test_cli_pseudo_gt_end_to_end_tiny(tmp_path, rng):
+    import cv2
+    import numpy as np
+
+    root = tmp_path / "ds"
+    for i in range(3):
+        stamp = f"100{i}_00{i}"
+        tdir = root / "train" / "seq_00_day" / "00" / "fl_ir_aligned"
+        rdir = root / "train" / "seq_00_day" / "00" / "fl_rgb"
+        tdir.mkdir(parents=True, exist_ok=True)
+        rdir.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(tdir / f"fl_ir_aligned_{stamp}.png"),
+                    rng.integers(21000, 26000, (32, 32)).astype(np.uint16))
+        cv2.imwrite(str(rdir / f"fl_rgb_{stamp}.png"),
+                    rng.integers(0, 255, (32, 32, 3)).astype(np.uint8))
+    out = tmp_path / "gt"
+    from thermal3d.cli.pseudo_gt import main
+
+    n = main(["--dataset_dir", str(root), "--output_dir", str(out),
+              "--img_size", "32", "32", "--model_preset", "tiny",
+              "--frame_skip", "1", "--batch_size", "2"])
+    assert n == 2
+    import glob
+
+    assert len(glob.glob(str(out / "pointmap1" / "*.npy"))) == 2

@@ -25,7 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_thermal_model", action="store_true")
     p.add_argument("--no_vis", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
-    return p
+    from thermal3d.cli.common import add_preset_flag
+
+    return add_preset_flag(p)
 
 
 def main(argv=None):
@@ -36,8 +38,10 @@ def main(argv=None):
     from thermal3d.infer.engine import InferenceEngine
 
     args = build_parser().parse_args(argv)
-    config = dataclasses.replace(DUSTR_224_LINEAR, img_size=tuple(args.img_size),
-                                 compute_dtype=args.compute_dtype)
+    from thermal3d.cli.common import apply_preset
+
+    config = apply_preset(DUSTR_224_LINEAR, args.model_preset, args.img_size,
+                          args.compute_dtype)
     params = head_params = None
     if args.model:
         from thermal3d.convert.torch_to_flax import convert_checkpoint

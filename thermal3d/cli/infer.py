@@ -34,7 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="outlier-median + guided + bilateral refinement")
     p.add_argument("--no_vis", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
-    return p
+    from thermal3d.cli.common import add_preset_flag
+
+    return add_preset_flag(p)
 
 
 def _load_params(weights, config):
@@ -60,8 +62,10 @@ def main(argv=None):
     from thermal3d.viz.panels import visualize_depth_result
 
     args = build_parser().parse_args(argv)
-    config = dataclasses.replace(DUSTR_224_LINEAR, img_size=tuple(args.img_size),
-                                 compute_dtype=args.compute_dtype)
+    from thermal3d.cli.common import apply_preset
+
+    config = apply_preset(DUSTR_224_LINEAR, args.model_preset, args.img_size,
+                          args.compute_dtype)
     loaded = _load_params(args.weights, config)
     params, head_params = (loaded if loaded else (None, None))
     engine = InferenceEngine(config, params=params,

@@ -24,7 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_set", action="store_true",
                    help="monocular test-set mode (test_pseudo_gt.py layout)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
-    return p
+    from thermal3d.cli.common import add_preset_flag
+
+    return add_preset_flag(p)
 
 
 def main(argv=None):
@@ -36,8 +38,10 @@ def main(argv=None):
     from thermal3d.pseudo_gt.test_set import generate_test_set_pseudo_gt
 
     args = build_parser().parse_args(argv)
-    config = dataclasses.replace(MASTR_512_CATMLPDPT, img_size=tuple(args.img_size),
-                                 compute_dtype=args.compute_dtype)
+    from thermal3d.cli.common import apply_preset
+
+    config = apply_preset(MASTR_512_CATMLPDPT, args.model_preset, args.img_size,
+                          args.compute_dtype)
     params = None
     if args.weights:
         from thermal3d.convert.torch_to_flax import convert_checkpoint

@@ -41,7 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh shape over available devices")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_wandb", action="store_true")
-    return p
+    from thermal3d.cli.common import add_preset_flag
+
+    return add_preset_flag(p)
 
 
 def main(argv=None):
@@ -55,8 +57,10 @@ def main(argv=None):
     from thermal3d.train.logging import MetricLogger
     from thermal3d.train.loop import train_and_evaluate
 
-    model_cfg = dataclasses.replace(
-        DUSTR_224_LINEAR, img_size=tuple(args.img_size), compute_dtype=args.compute_dtype)
+    from thermal3d.cli.common import apply_preset
+
+    model_cfg = apply_preset(DUSTR_224_LINEAR, args.model_preset, args.img_size,
+                             args.compute_dtype)
     cfg = TrainConfig(
         lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
         batch_size=args.batch_size, accumulation_steps=args.accumulation_steps,
