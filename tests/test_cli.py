@@ -106,3 +106,64 @@ def test_cli_pseudo_gt_end_to_end_tiny(tmp_path, rng):
     import glob
 
     assert len(glob.glob(str(out / "pointmap1" / "*.npy"))) == 2
+
+
+def test_cli_train_end_to_end_tiny(tmp_path, rng):
+    """Torch .pth → converter → pseudo-GT data → sharded training → orbax:
+    the complete fine-tuning pipeline through the CLI (tiny preset)."""
+    import cv2
+    import numpy as np
+    import torch
+
+    from thermal3d.cli.common import apply_preset
+    from thermal3d.convert.torch_to_flax import expected_torch_keys
+    from thermal3d.core.config import DUSTR_224_LINEAR
+
+    # synthetic dataset with pseudo-GT
+    root = tmp_path / "ds"
+    gt = tmp_path / "gt"
+    stamps = []
+    for i in range(10):
+        stamp = f"100{i}_00{i}"
+        stamps.append(stamp)
+        tdir = root / "train" / "seq_00_day" / "00" / "fl_ir_aligned"
+        rdir = root / "train" / "seq_00_day" / "00" / "fl_rgb"
+        tdir.mkdir(parents=True, exist_ok=True)
+        rdir.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(tdir / f"fl_ir_aligned_{stamp}.png"),
+                    rng.integers(21000, 26000, (32, 32)).astype(np.uint16))
+        cv2.imwrite(str(rdir / f"fl_rgb_{stamp}.png"),
+                    rng.integers(0, 255, (32, 32, 3)).astype(np.uint8))
+    for i in range(len(stamps) - 1):
+        b1, b2 = f"fl_rgb_{stamps[i]}", f"fl_rgb_{stamps[i + 1]}"
+        pair = f"{b1}_{b2}"
+        for sub, name, shape in [("pointmap1", pair, (16, 16, 3)),
+                                 ("pointmap2", pair, (16, 16, 3)),
+                                 ("confidence1", pair, (16, 16)),
+                                 ("confidence2", pair, (16, 16))]:
+            (gt / sub).mkdir(parents=True, exist_ok=True)
+            np.save(gt / sub / f"{name}.npy",
+                    rng.uniform(0.5, 5, shape).astype(np.float32))
+
+    # synthetic torch checkpoint with the tiny architecture's key layout
+    tiny_cfg = apply_preset(DUSTR_224_LINEAR, "tiny", (32, 32), "float32")
+    state = {k: torch.from_numpy(rng.standard_normal(s).astype(np.float32) * 0.05)
+             for k, s in expected_torch_keys(tiny_cfg).items()}
+    ckpt_path = tmp_path / "tiny_dustr.pth"
+    torch.save({"model": state}, str(ckpt_path))
+
+    from thermal3d.cli.train import main
+
+    summary = main([
+        "--dataset_dir", str(root), "--pseudo_gt_dir", str(gt),
+        "--weights", str(ckpt_path), "--output_model", str(tmp_path / "ckpt"),
+        "--epochs", "1", "--batch_size", "4", "--frame_skip", "1",
+        "--img_size", "32", "32", "--model_preset", "tiny",
+        "--compute_dtype", "float32", "--use_thermal_aware_loss", "--multi_scale",
+        "--no_wandb", "--max_batches", "1",
+    ])
+    assert summary["epochs_run"] == 1
+    assert np.isfinite(summary["best_val_loss"])
+    import os
+
+    assert os.path.isdir(tmp_path / "ckpt")

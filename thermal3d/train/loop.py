@@ -35,6 +35,16 @@ def train_and_evaluate(
     """Returns summary dict with best_val_loss / epochs_run / final step."""
     if mesh is None:
         mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    n_data = mesh.shape.get("data", 1)
+    if cfg.batch_size % n_data:
+        # batch must divide evenly across the data axis; fall back to the
+        # largest compatible device count (e.g. reference default batch 4 on
+        # an 8-device host → 4-way DP)
+        best = max(d for d in range(1, n_data + 1) if cfg.batch_size % d == 0)
+        print(f"[thermal3d] batch_size {cfg.batch_size} not divisible by "
+              f"{n_data} devices; using {best}-way data parallelism")
+        devs = mesh.devices.reshape(-1)[:best]
+        mesh = make_mesh((best,), ("data",), devices=list(devs))
     if logger is None:
         logger = MetricLogger(use_wandb=False)
 
