@@ -35,6 +35,7 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    bf16_params = "--bf16-params" in sys.argv
 
     config = dataclasses.replace(DUSTR_224_LINEAR, compute_dtype="bfloat16")
     model = AsymmetricCroCo3DStereo(config)
@@ -44,6 +45,8 @@ def main():
     raw0 = jnp.linspace(21000.0, 26000.0, batch * 320 * 416).reshape(batch, 320, 416) / 65535.0
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
     params = jax.jit(lambda k: model.init(k, dummy, dummy))(jax.random.key(0))["params"]
+    if bf16_params:  # store weights in compute dtype: no per-step f32→bf16 cast
+        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     head_params = jax.jit(lambda k: head.init(k, jnp.zeros((1, h, w, 3))))(
         jax.random.key(1))["params"]
 

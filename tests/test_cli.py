@@ -167,3 +167,30 @@ def test_cli_train_end_to_end_tiny(tmp_path, rng):
     import os
 
     assert os.path.isdir(tmp_path / "ckpt")
+
+
+def test_infer_from_orbax_checkpoint(tmp_path, rng, tiny_config):
+    """cli.train's orbax output loads back into the inference engine."""
+    import jax
+    import numpy as np
+
+    from thermal3d.cli.infer import _load_params
+    from thermal3d.core.config import TrainConfig
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+    from thermal3d.train.checkpoint import CheckpointManager
+    from thermal3d.train.state import create_train_state
+
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    params = model.init(jax.random.key(0), img, img)["params"]
+    state = create_train_state(model, params, TrainConfig(), 10)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state, val_loss=0.5, extra={"epoch": 1})
+    mgr.close()
+
+    loaded, head = _load_params(str(tmp_path / "ckpt"), tiny_config)
+    assert head is None
+    ref = jax.tree_util.tree_leaves(params)
+    got = jax.tree_util.tree_leaves(loaded)
+    assert len(ref) == len(got)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]))

@@ -44,12 +44,9 @@ def main(argv=None):
                           args.compute_dtype)
     params = head_params = None
     if args.model:
-        from thermal3d.convert.torch_to_flax import convert_checkpoint
+        from thermal3d.cli.infer import _load_params
 
-        converted, _ = convert_checkpoint(args.model, config)
-        tree = converted["params"]
-        params = tree.get("model", tree)
-        head_params = tree.get("thermal_preprocess")
+        params, head_params = _load_params(args.model, config)
     engine = InferenceEngine(config, params=params,
                              use_thermal_head=not args.no_thermal_model,
                              thermal_head_params=head_params)

@@ -48,6 +48,11 @@ def _load_params(weights, config):
         converted, _ = convert_checkpoint(weights, config)
         tree = converted["params"]
         return tree.get("model", tree), tree.get("thermal_preprocess")
+    if os.path.isdir(weights):  # orbax checkpoint dir from cli.train
+        from thermal3d.train.checkpoint import load_params_from_checkpoint_dir
+
+        tree, _ = load_params_from_checkpoint_dir(weights)
+        return tree.get("model", tree), tree.get("thermal_preprocess")
     raise ValueError(f"unsupported weights format: {weights}")
 
 

@@ -59,3 +59,22 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def load_params_from_checkpoint_dir(directory: str, step: Optional[int] = None):
+    """Restore just the model params from an orbax checkpoint directory
+    (template-free — for inference CLIs). Returns (params, meta)."""
+    mgr = ocp.CheckpointManager(os.path.abspath(directory))
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    restored = mgr.restore(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(),
+            meta=ocp.args.JsonRestore(),
+        ),
+    )
+    mgr.close()
+    state = restored["state"]
+    return state["params"], restored["meta"]
