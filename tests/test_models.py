@@ -119,3 +119,22 @@ def test_encoder_batches_both_views(tiny_config):
     # asymmetric decoder/heads → results differ, but both must be finite
     assert np.all(np.isfinite(np.asarray(q1["pts3d"])))
     assert not np.allclose(np.asarray(p1["pts3d"]), np.asarray(q1["pts3d"]))
+
+
+def test_monocular_single_encode_equals_two_view(tiny_config, rng):
+    """The serving-path optimization (img2=None → encode once) must produce
+    exactly the two-view result for identical inputs."""
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    h, w = tiny_config.img_size
+    img = rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32)
+    params = model.init(jax.random.key(0), img, img)
+    p1a, p2a = model.apply(params, img, img)
+    p1b, p2b = model.apply(params, img, None)
+    # tolerance: f32 reduction-order noise only (the two paths fuse the
+    # encoder batch differently); semantics are identical
+    np.testing.assert_allclose(np.asarray(p1a["pts3d"]), np.asarray(p1b["pts3d"]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p2a["pts3d_in_other_view"]),
+                               np.asarray(p2b["pts3d_in_other_view"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p1a["conf"]), np.asarray(p1b["conf"]),
+                               atol=2e-4)
