@@ -175,3 +175,43 @@ def test_remat_training(tiny_config, rng):
     _, m_n = make_train_step(model_n, tcfg)(s_n, batch)
     np.testing.assert_allclose(float(m_r["loss"]), float(m_n["loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m_r["grad_norm"]), float(m_n["grad_norm"]), rtol=1e-4)
+
+
+def test_checkpoint_resume(tiny_config, rng, tmp_path, cpu_devices):
+    """True mid-run resume: second invocation continues from the saved epoch
+    with full optimizer state (the reference saves but never reloads it —
+    SURVEY §5 checkpoint/resume)."""
+    from thermal3d.train.loop import train_and_evaluate
+
+    class DS:
+        def __init__(self, n):
+            self.samples = [
+                {k: v[0] for k, v in _tiny_batch(rng, b=1).items()} for _ in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.samples)
+
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    mesh = make_mesh((-1,), ("data",), devices=cpu_devices)
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    params = model.init(jax.random.key(0), img, img)["params"]
+    ds = DS(24)
+    ckpt_dir = str(tmp_path / "ck")
+
+    # copy before the first run — the train step donates its state buffers
+    params2 = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
+
+    cfg1 = TrainConfig(epochs=1, batch_size=8, max_batches=2, lr=1e-4)
+    s1 = train_and_evaluate(model, params, ds, cfg1, checkpoint_dir=ckpt_dir, mesh=mesh)
+    assert s1["epochs_run"] == 1
+
+    cfg2 = TrainConfig(epochs=2, batch_size=8, max_batches=2, lr=1e-4)
+    s2 = train_and_evaluate(model, params2, ds, cfg2, checkpoint_dir=ckpt_dir,
+                            mesh=mesh, resume=True)
+    # resumed from epoch 1 → ran only epoch 2
+    assert s2["epochs_run"] == 2
+    assert s2["final_step"] > s1["final_step"]
