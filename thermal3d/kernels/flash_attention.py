@@ -166,7 +166,13 @@ def flash_attention(
         scale = 1.0 / math.sqrt(d)
 
     if impl == "auto":
-        impl = "pallas" if _auto_platform() == "tpu" else "xla"
+        # At DUSt3R's sequence lengths (196/1024 tokens) the scores matrix
+        # fits VMEM and XLA's fused attention wins — measured 433 vs 374
+        # fps/chip end-to-end at S=196 (docs/PERF.md). The Pallas kernel pays
+        # off once scores would spill (long sequences), so 'auto' selects it
+        # only there.
+        long_seq = sk >= 2048
+        impl = "pallas" if (_auto_platform() == "tpu" and long_seq) else "xla"
 
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, sk, d)
