@@ -36,7 +36,11 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     bf16_params = "--f32-params" not in sys.argv  # bf16 weight storage default
-    attn = "xla" if "--attn-xla" in sys.argv else "auto"
+    attn = "auto"
+    if "--attn-xla" in sys.argv:
+        attn = "xla"
+    elif "--attn-pallas" in sys.argv:
+        attn = "pallas"
 
     config = dataclasses.replace(DUSTR_224_LINEAR, compute_dtype="bfloat16",
                                  attention_impl=attn)

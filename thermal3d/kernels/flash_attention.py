@@ -39,21 +39,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # [BLK_Q, D]
-    k = k_ref[0].astype(jnp.float32)  # [S_pad, D]
-    v = v_ref[0].astype(jnp.float32)
+    # Keep matmul INPUTS in the stored dtype (bf16 in production) with f32
+    # accumulation — f32-input MXU matmuls run at a fraction of the bf16 rate
+    # and dominated the kernel before (docs/PERF.md). Softmax stays f32.
+    q = q_ref[0]  # [BLK_Q, D]
+    k = k_ref[0]  # [S_pad, D]
+    v = v_ref[0]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BLK_Q, S_pad]
+    ) * scale  # [BLK_Q, S_pad] f32
     s_pad = scores.shape[-1]
     if valid_len < s_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
-        scores = jnp.where(col < valid_len, scores, -jnp.inf)
+        scores = jnp.where(col < valid_len, scores, -1e30)
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) / denom
     o_ref[0] = o.astype(o_ref.dtype)
 
