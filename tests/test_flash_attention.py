@@ -63,3 +63,41 @@ def test_custom_vjp_matches_autodiff(rng):
     np.testing.assert_allclose(np.asarray(dq), np.asarray(adq), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(adk), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(adv), atol=1e-4)
+
+
+def test_multihead_kernel_matches_reference(rng):
+    from thermal3d.kernels.flash_attention import (
+        _attention_reference, _flash_attention_fwd_multihead)
+
+    b, h, s, d = 2, 3, 196, 32
+    q = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    ours = np.asarray(_flash_attention_fwd_multihead(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale, interpret=True))
+    ref = np.asarray(_attention_reference(
+        jnp.asarray(q.reshape(b * h, s, d)), jnp.asarray(k.reshape(b * h, s, d)),
+        jnp.asarray(v.reshape(b * h, s, d)), scale)).reshape(b, h, s, d)
+    np.testing.assert_allclose(ours, ref, atol=5e-3)
+
+
+def test_multihead_grad(rng):
+    from thermal3d.kernels.flash_attention import _mh_bwd, _attention_reference
+
+    b, h, s, d = 1, 2, 20, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    dq, dk, dv = _mh_bwd(0.3, False, (q, k, v), g)
+
+    def f(q, k, v):
+        out = _attention_reference(q.reshape(b * h, s, d), k.reshape(b * h, s, d),
+                                   v.reshape(b * h, s, d), 0.3)
+        return jnp.sum(out.reshape(b, h, s, d) * g)
+
+    adq, adk, adv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(adq), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(adk), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(adv), atol=1e-4)

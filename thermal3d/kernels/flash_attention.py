@@ -110,6 +110,69 @@ def _flash_attention_fwd_pallas(q, k, v, *, scale: float, interpret: bool = Fals
     return out[:, :sq, :d]
 
 
+def _multihead_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float,
+                      num_heads: int):
+    """One grid program per batch element; all heads computed in-program
+    (unrolled) so the scores never leave VMEM and launches are amortized —
+    built for DUSt3R's short sequences (196/1024 tokens)."""
+    for h in range(num_heads):
+        q = q_ref[0, h]  # [S_pad, D_pad], stored dtype (bf16 in prod)
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s_pad = scores.shape[-1]
+        if valid_len < s_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+            scores = jnp.where(col < valid_len, scores, -1e30)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / denom
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+def _flash_attention_fwd_multihead(q, k, v, *, scale: float, interpret: bool = False):
+    """q/k/v: [B, H, S, D] → [B, H, S, D]; whole-sequence, per-batch grid."""
+    b, nh, sq, d = q.shape
+    sk = k.shape[2]
+    sq_pad = _round_up(sq, 128)
+    sk_pad = _round_up(sk, 128)
+    d_pad = _round_up(d, 128)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
+    kernel = functools.partial(_multihead_kernel, valid_len=sk, scale=scale,
+                               num_heads=nh)
+    mem_space = pltpu.VMEM if _HAS_PLTPU else None
+
+    def bspec(shape):
+        if mem_space is not None:
+            return pl.BlockSpec(shape, lambda i: (i, 0, 0, 0), memory_space=mem_space)
+        return pl.BlockSpec(shape, lambda i: (i, 0, 0, 0))
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nh, sq_pad, d_pad), q.dtype),
+        grid=(b,),
+        in_specs=[bspec((1, nh, sq_pad, d_pad)),
+                  bspec((1, nh, sk_pad, d_pad)),
+                  bspec((1, nh, sk_pad, d_pad))],
+        out_specs=bspec((1, nh, sq_pad, d_pad)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nh * sq_pad * sk_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * nh * sq_pad * sk_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :, :sq, :d]
+
+
 def _attention_reference(q, k, v, scale):
     scores = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
     p = jax.nn.softmax(scores, axis=-1)
@@ -142,6 +205,29 @@ def _core_bwd(scale, interpret, res, g):
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _multihead_core(q, k, v, scale, interpret):
+    return _flash_attention_fwd_multihead(q, k, v, scale=scale, interpret=interpret)
+
+
+def _mh_fwd(q, k, v, scale, interpret):
+    return _multihead_core(q, k, v, scale, interpret), (q, k, v)
+
+
+def _mh_bwd(scale, interpret, res, g):
+    q, k, v = res  # [B, H, S, D]
+    b, h = q.shape[:2]
+
+    def flat(t):
+        return t.reshape(b * h, *t.shape[2:])
+
+    dq, dk, dv = _core_bwd(scale, interpret, (flat(q), flat(k), flat(v)), flat(g))
+    return (dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape))
+
+
+_multihead_core.defvjp(_mh_fwd, _mh_bwd)
+
+
 def _auto_platform() -> str:
     """Platform that ops will actually run on: respects jax_default_device
     (used by tests to pin CPU on hosts where a TPU plugin is force-registered)."""
@@ -149,6 +235,42 @@ def _auto_platform() -> str:
     if dev is not None:
         return dev.platform
     return jax.default_backend()
+
+
+def attention_bshd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Attention in the transpose-free [B, S, H, D] layout (the natural
+    layout coming out of the qkv projection — avoids the head-split
+    transposes that showed up as pure layout-copy time in profiles).
+
+    XLA path: einsum bqhd,bkhd->bhqk with f32 accumulation, f32 softmax,
+    probabilities cast back to the value dtype for the PV matmul (bf16 MXU).
+    Pallas path (long sequences): transposes to [B,H,S,D] around the kernel.
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if impl == "auto":
+        long_seq = sk >= 2048
+        impl = "pallas" if (_auto_platform() == "tpu" and long_seq) else "xla"
+    if impl == "pallas":
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+            scale=scale, impl="pallas",
+        )
+        return out.transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
 
 
 def flash_attention(
@@ -177,6 +299,11 @@ def flash_attention(
         # only there.
         long_seq = sk >= 2048
         impl = "pallas" if (_auto_platform() == "tpu" and long_seq) else "xla"
+
+    if impl == "pallas" and sk <= 1024 and sq == sk:
+        # short sequences: whole-sequence multihead kernel, one program per
+        # batch element (amortizes launches; scores stay in VMEM)
+        return _multihead_core(q, k, v, scale, interpret)
 
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, sk, d)

@@ -18,8 +18,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from thermal3d.kernels.flash_attention import flash_attention
-from thermal3d.models.rope import apply_rope_2d
+from thermal3d.kernels.flash_attention import attention_bshd
+from thermal3d.models.rope import apply_rope_2d_bshd
 
 
 class Mlp(nn.Module):
@@ -48,13 +48,12 @@ class Attention(nn.Module):
         b, s, c = x.shape
         hd = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, s, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # [B, H, S, hd]
-        q = apply_rope_2d(q, pos, self.rope_base)
-        k = apply_rope_2d(k, pos, self.rope_base)
-        out = flash_attention(q, k, v, impl=self.attention_impl)
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        qkv = qkv.reshape(b, s, 3, self.num_heads, hd)
+        # transpose-free [B, S, H, hd] layout end-to-end
+        q = apply_rope_2d_bshd(qkv[:, :, 0], pos, self.rope_base)
+        k = apply_rope_2d_bshd(qkv[:, :, 1], pos, self.rope_base)
+        out = attention_bshd(q, k, qkv[:, :, 2], impl=self.attention_impl)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, s, c))
 
 
 class CrossAttention(nn.Module):
@@ -72,16 +71,15 @@ class CrossAttention(nn.Module):
         hd = c // self.num_heads
 
         def heads(t, s):
-            return t.reshape(b, s, self.num_heads, hd).transpose(0, 2, 1, 3)
+            return t.reshape(b, s, self.num_heads, hd)  # [B, S, H, hd]
 
         q = heads(nn.Dense(c, dtype=self.dtype, name="projq")(x), sq)
         k = heads(nn.Dense(c, dtype=self.dtype, name="projk")(key), sk)
         v = heads(nn.Dense(c, dtype=self.dtype, name="projv")(value), sk)
-        q = apply_rope_2d(q, xpos, self.rope_base)
-        k = apply_rope_2d(k, ypos, self.rope_base)
-        out = flash_attention(q, k, v, impl=self.attention_impl)
-        out = out.transpose(0, 2, 1, 3).reshape(b, sq, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        q = apply_rope_2d_bshd(q, xpos, self.rope_base)
+        k = apply_rope_2d_bshd(k, ypos, self.rope_base)
+        out = attention_bshd(q, k, v, impl=self.attention_impl)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, sq, c))
 
 
 class EncoderBlock(nn.Module):

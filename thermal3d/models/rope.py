@@ -60,3 +60,16 @@ def apply_rope_2d(tokens: jnp.ndarray, positions: jnp.ndarray, base: float = 100
     t_y = _rope_1d(t_y, pos_y, base)
     t_x = _rope_1d(t_x, pos_x, base)
     return jnp.concatenate([t_y, t_x], axis=-1)
+
+
+def apply_rope_2d_bshd(tokens: jnp.ndarray, positions: jnp.ndarray,
+                       base: float = 100.0) -> jnp.ndarray:
+    """Same rotation for the transpose-free [B, S, num_heads, head_dim]
+    layout (the sequence axis is second; cos/sin broadcast over heads)."""
+    pos_y = positions[:, 0][:, None]  # [S, 1] → broadcasts over H
+    pos_x = positions[:, 1][:, None]
+    d = tokens.shape[-1] // 2
+    t_y, t_x = tokens[..., :d], tokens[..., d:]
+    t_y = _rope_1d(t_y, pos_y, base)
+    t_x = _rope_1d(t_x, pos_x, base)
+    return jnp.concatenate([t_y, t_x], axis=-1)
