@@ -300,9 +300,11 @@ def flash_attention(
         long_seq = sk >= 2048
         impl = "pallas" if (_auto_platform() == "tpu" and long_seq) else "xla"
 
-    if impl == "pallas" and sk <= 1024 and sq == sk:
-        # short sequences: whole-sequence multihead kernel, one program per
-        # batch element (amortizes launches; scores stay in VMEM)
+    if impl == "pallas_multihead":
+        # experimental variant: one program per batch element, all heads
+        # in-program. Measured SLOWER than both the q-blocked kernel and XLA
+        # at S=196 (288 vs 378 vs 433 fps end-to-end — docs/PERF.md): few big
+        # sequential programs pipeline worse than many small ones.
         return _multihead_core(q, k, v, scale, interpret)
 
     qf = q.reshape(b * h, sq, d)
