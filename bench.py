@@ -41,6 +41,8 @@ def main():
         attn = "xla"
     elif "--attn-pallas" in sys.argv:
         attn = "pallas"
+    elif "--attn-fast" in sys.argv:
+        attn = "xla_bf16_scores"
 
     config = dataclasses.replace(DUSTR_224_LINEAR, compute_dtype="bfloat16",
                                  attention_impl=attn)

@@ -101,3 +101,17 @@ def test_multihead_grad(rng):
     np.testing.assert_allclose(np.asarray(dq), np.asarray(adq), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(adk), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(adv), atol=1e-4)
+
+
+def test_bf16_scores_path_close_to_f32(rng):
+    from thermal3d.kernels.flash_attention import attention_bshd
+
+    b, s, h, d = 2, 48, 4, 16
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    exact = np.asarray(attention_bshd(q, k, v, impl="xla"))
+    fast = np.asarray(attention_bshd(q, k, v, impl="xla_bf16_scores"))
+    # bf16 score quantization: small relative error on O(1) outputs
+    assert np.abs(fast - exact).max() < 2e-2
+    assert np.abs(fast - exact).mean() < 3e-3

@@ -268,8 +268,17 @@ def attention_bshd(
         return out.transpose(0, 2, 1, 3)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+    if impl == "xla_bf16_scores":
+        # accuracy-gated fast path: materialize the (B,H,S,S) score tensor in
+        # bf16 (halves the dominant softmax HBM traffic); softmax statistics
+        # still f32 via upcast inside the fusion
+        scores = scores.astype(jnp.bfloat16)
+        m = jnp.max(scores.astype(jnp.float32), axis=-1, keepdims=True)
+        p = jnp.exp(scores.astype(jnp.float32) - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    else:
+        p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
