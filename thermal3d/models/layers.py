@@ -30,7 +30,12 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        # torch nn.GELU (the reference model's activation) is the exact erf
+        # form, which XLA lowers to an expensive erfc + sign-branch bitmask
+        # inside every MLP fusion. The tanh approximation's error (~3e-4) is
+        # below bf16 quantization (~8e-3 at |x|≈1), so use it whenever the
+        # compute dtype is bf16; keep exact erf in f32 for checkpoint parity.
+        x = nn.gelu(x, approximate=self.dtype == jnp.bfloat16)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
