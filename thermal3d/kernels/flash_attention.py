@@ -268,10 +268,14 @@ def attention_bshd(
         return out.transpose(0, 2, 1, 3)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
-    if impl == "xla_bf16_scores":
-        # accuracy-gated fast path: materialize the (B,H,S,S) score tensor in
-        # bf16 (halves the dominant softmax HBM traffic); softmax statistics
-        # still f32 via upcast inside the fusion
+    # Materialize the (B,H,S,S) score tensor in bf16 when the network already
+    # computes in bf16 — one extra rounding on logits that are themselves sums
+    # of bf16 products, and it halves the dominant softmax HBM traffic
+    # (531 → 598 fps end-to-end, docs/PERF.md). Softmax statistics stay f32.
+    # f32 inputs (parity/tests) keep f32 scores; impl flags force either way.
+    bf16_scores = impl == "xla_bf16_scores" or (
+        impl != "xla_f32_scores" and q.dtype == jnp.bfloat16)
+    if bf16_scores:
         scores = scores.astype(jnp.bfloat16)
         m = jnp.max(scores.astype(jnp.float32), axis=-1, keepdims=True)
         p = jnp.exp(scores.astype(jnp.float32) - m)
