@@ -151,9 +151,9 @@ class _TorchMlp(nn.Module):
 class _TorchEncBlock(nn.Module):
     def __init__(self, dim, heads, mlp_ratio=4):
         super().__init__()
-        self.norm1 = nn.LayerNorm(dim)
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
         self.attn = _TorchAttention(dim, heads)
-        self.norm2 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
         self.mlp = _TorchMlp(dim, dim * mlp_ratio)
 
     def forward(self, x, pos):
@@ -164,12 +164,12 @@ class _TorchEncBlock(nn.Module):
 class _TorchDecBlock(nn.Module):
     def __init__(self, dim, heads, mlp_ratio=4):
         super().__init__()
-        self.norm1 = nn.LayerNorm(dim)
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
         self.attn = _TorchAttention(dim, heads)
         self.cross_attn = _TorchCrossAttention(dim, heads)
-        self.norm2 = nn.LayerNorm(dim)
-        self.norm3 = nn.LayerNorm(dim)
-        self.norm_y = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm3 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm_y = nn.LayerNorm(dim, eps=1e-6)
         self.mlp = _TorchMlp(dim, dim * mlp_ratio)
 
     def forward(self, x, y, xpos, ypos):
@@ -190,13 +190,13 @@ class _TorchTinyDustr(nn.Module):
             {"proj": nn.Conv2d(3, e, kernel_size=p, stride=p)})
         self.enc_blocks = nn.ModuleList(
             [_TorchEncBlock(e, cfg.enc_num_heads) for _ in range(cfg.enc_depth)])
-        self.enc_norm = nn.LayerNorm(e)
+        self.enc_norm = nn.LayerNorm(e, eps=1e-6)
         self.decoder_embed = nn.Linear(e, d)
         self.dec_blocks = nn.ModuleList(
             [_TorchDecBlock(d, cfg.dec_num_heads) for _ in range(cfg.dec_depth)])
         self.dec_blocks2 = nn.ModuleList(
             [_TorchDecBlock(d, cfg.dec_num_heads) for _ in range(cfg.dec_depth)])
-        self.dec_norm = nn.LayerNorm(d)
+        self.dec_norm = nn.LayerNorm(d, eps=1e-6)
         self.downstream_head1 = nn.ModuleDict({"proj": nn.Linear(d, 4 * p * p)})
         self.downstream_head2 = nn.ModuleDict({"proj": nn.Linear(d, 4 * p * p)})
 

@@ -1,0 +1,83 @@
+"""InferenceEngine directory-batch path: decode-failure alignment + native
+loader wiring (VERDICT r1 items 2 and ADVICE infer-pairing fix)."""
+
+import numpy as np
+import pytest
+
+from thermal3d.infer.engine import InferenceEngine
+from thermal3d.preprocess.io import load_thermal_image, load_thermal_images_batch
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture
+def thermal_dir(tmp_path, rng):
+    paths = []
+    for i in range(5):
+        arr = rng.integers(21000, 26000, (48, 64)).astype(np.uint16)
+        p = tmp_path / f"frame_{i}.png"
+        cv2.imwrite(str(p), arr)
+        paths.append(str(p))
+    return tmp_path, paths
+
+
+def test_infer_paths_returns_surviving_paths(thermal_dir, tiny_config):
+    tmp_path, paths = thermal_dir
+    bad = tmp_path / "frame_2b.png"
+    bad.write_bytes(b"not a png at all")
+    all_paths = sorted(paths + [str(bad)])
+    engine = InferenceEngine(tiny_config, use_thermal_head=False)
+    out = engine.infer_paths(all_paths, batch_size=3)
+    assert out["paths"] == paths  # bad frame dropped, order preserved
+    assert out["depth"].shape[0] == len(paths)
+    # depth rows correspond to the surviving paths: recompute one directly
+    i = out["paths"].index(paths[3])
+    gray = load_thermal_image(paths[3], normalize=True)
+    direct = engine.infer(gray[None])
+    np.testing.assert_allclose(out["depth"][i], direct["depth"][0],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_batch_decode_prefers_native(thermal_dir, monkeypatch):
+    from thermal3d import native
+
+    if not native.available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    _, paths = thermal_dir
+
+    import thermal3d.preprocess.io as io_mod
+
+    def _boom(*a, **k):  # the cv2 fallback must NOT be hit
+        raise AssertionError("fell back to per-image decode")
+
+    monkeypatch.setattr(io_mod, "load_thermal_image", _boom)
+    grays, survivors = load_thermal_images_batch(paths, out_hw=(24, 32))
+    assert survivors == paths
+    assert len(grays) == len(paths) and grays[0].shape == (24, 32)
+
+
+def test_batch_decode_native_matches_fallback(thermal_dir):
+    from thermal3d import native
+
+    if not native.available():
+        pytest.skip(f"native loader unavailable: {native.build_error()}")
+    _, paths = thermal_dir
+    import jax
+    import jax.numpy as jnp
+
+    grays_native, _ = load_thermal_images_batch(paths, out_hw=(24, 32))
+    for p, gn in zip(paths, grays_native):
+        g = load_thermal_image(p, normalize=True)
+        ref = np.asarray(jax.image.resize(jnp.asarray(g), (24, 32), "bilinear",
+                                          antialias=False))
+        np.testing.assert_allclose(gn, ref, atol=2e-4)
+
+
+def test_dark_uint16_scaled_by_dtype(tmp_path):
+    """A uint16 frame whose max ≤ 255 must still scale by 65535 (the reference
+    branches on dtype, thermal_dustr_inference.py:36-40 — ADVICE r1)."""
+    arr = np.full((16, 16), 200, dtype=np.uint16)
+    p = tmp_path / "dark.png"
+    cv2.imwrite(str(p), arr)
+    g = load_thermal_image(str(p), normalize=True)
+    np.testing.assert_allclose(g, 200.0 / 65535.0, rtol=1e-6)

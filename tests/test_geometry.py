@@ -71,6 +71,25 @@ def test_extract_relative_pose_known_rigid(rng):
     np.testing.assert_allclose(t[:3, 3], t_true, atol=1e-3)
 
 
+def test_extract_relative_pose_nan_invalid_pixels(rng):
+    """NaN at invalid (Z≤0) pixels must not poison the weighted solve
+    (0·NaN = NaN — ADVICE r1): same rigid transform must be recovered."""
+    r_true = _random_rotation(rng).astype(np.float32)
+    t_true = np.array([0.1, 0.2, -0.1], dtype=np.float32)
+    pm1 = rng.uniform(1.0, 5.0, (24, 24, 3)).astype(np.float32)
+    pm2 = (pm1.reshape(-1, 3) @ r_true.T + t_true).reshape(24, 24, 3)
+    if (pm2[..., 2] <= 0).any():
+        pm2[..., 2] = np.abs(pm2[..., 2]) + 0.1
+        pm1 = ((pm2.reshape(-1, 3) - t_true) @ r_true).reshape(24, 24, 3)
+    pm1_nan, pm2_nan = pm1.copy(), pm2.copy()
+    pm1_nan[:4, :4] = np.nan  # invalid pixels carry NaN, like real pointmaps
+    pm2_nan[-3:, -3:] = np.inf
+    t = extract_relative_pose(pm1_nan, pm2_nan)
+    assert np.isfinite(t).all()
+    np.testing.assert_allclose(t[:3, :3], r_true, atol=1e-3)
+    np.testing.assert_allclose(t[:3, 3], t_true, atol=1e-3)
+
+
 def test_extract_relative_pose_too_few_points():
     pm1 = np.zeros((8, 8, 3), dtype=np.float32)  # no valid Z
     pm2 = np.zeros((8, 8, 3), dtype=np.float32)

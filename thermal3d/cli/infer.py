@@ -102,17 +102,20 @@ def main(argv=None):
                 continue
             import jax
 
-            resized = np.asarray(jax.image.resize(jnp.asarray(gray),
-                                                  tuple(args.img_size), "bilinear"))
+            resized = np.asarray(jax.image.resize(jnp.asarray(gray), tuple(args.img_size),
+                                                  "bilinear", antialias=False))
             proc = np.asarray(fn(resized))
             out = engine.infer(proc[None], preprocessed=True)
             _save_one(args, out, 0, path, engine)
         return
 
     out = engine.infer_paths(paths, batch_size=args.batch_size)
-    for i, path in enumerate(paths[: len(out.get("depth", []))]):
+    # zip against the SURVIVING paths (failed decodes are dropped, so pairing
+    # with the input list would save depths under wrong basenames)
+    for i, path in enumerate(out.get("paths", [])):
         _save_one(args, out, i, path, engine)
-    print(f"Processed {len(paths)} frames -> {args.output_dir}")
+    print(f"Processed {len(out.get('paths', []))}/{len(paths)} frames "
+          f"-> {args.output_dir}")
 
 
 def _save_one(args, out, i, path, engine):
@@ -126,10 +129,12 @@ def _save_one(args, out, i, path, engine):
         import jax.numpy as jnp
 
         gray = load_thermal_image(path, normalize=True)
-        gray = np.asarray(jax.image.resize(jnp.asarray(gray), depth.shape, "bilinear"))
+        gray = np.asarray(jax.image.resize(jnp.asarray(gray), depth.shape, "bilinear", antialias=False))
         depth = np.asarray(refine_depth(jnp.asarray(depth), jnp.asarray(gray)))
     np.save(os.path.join(args.output_dir, f"{base}_depth.npy"), depth)
     if not args.no_vis:
+        from thermal3d.viz.panels import visualize_depth_result
+
         visualize_depth_result(
             _thermal_vis(path, depth), depth, out["confidence1"][i],
             save_path=os.path.join(args.output_dir, f"{base}_depth_vis.png"))

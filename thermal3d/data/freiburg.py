@@ -208,7 +208,7 @@ def _resize(img: np.ndarray, size_wh: Tuple[int, int]) -> np.ndarray:
     import jax.numpy as jnp
 
     out_shape = (size_wh[1], size_wh[0]) + img.shape[2:]
-    return np.asarray(jax.image.resize(jnp.asarray(img), out_shape, method="bilinear"))
+    return np.asarray(jax.image.resize(jnp.asarray(img), out_shape, method="bilinear", antialias=False))
 
 
 class FreiburgRGBThermalDataset:

@@ -77,6 +77,11 @@ def evaluate_test_set(engine: InferenceEngine, thermal_paths: List[str],
 
     results = engine.infer_paths([t for t, _ in matched], batch_size=batch_size)
     pred_depths = results["depth"]
+    # re-pair via the surviving paths: decode failures are dropped inside
+    # infer_paths, so zipping `matched` directly would shift every row after
+    # the first bad file
+    gt_by_thermal = dict(matched)
+    matched = [(t, gt_by_thermal[t]) for t in results["paths"]]
 
     all_metrics = []
     for (thermal_path, gt_path), pred in zip(matched, pred_depths):

@@ -80,9 +80,15 @@ def extract_relative_pose_jit(pointmap1: jnp.ndarray, pointmap2: jnp.ndarray) ->
     weighted solve; <10 valid or degenerate rank → identity.
     """
     mask = (pointmap1[..., 2] > 0) & (pointmap2[..., 2] > 0)
+    mask &= jnp.all(jnp.isfinite(pointmap1), -1) & jnp.all(jnp.isfinite(pointmap2), -1)
+    # Zero-weighting alone is not enough: 0 * NaN = NaN, so invalid points must
+    # be zeroed BEFORE entering the weighted mean/covariance products (the
+    # reference boolean-indexes them away host-side, pseudo_gt.py:191-204).
+    p1 = jnp.where(mask[..., None], pointmap1, 0.0)
+    p2 = jnp.where(mask[..., None], pointmap2, 0.0)
     w = mask.reshape(-1).astype(jnp.float32)
-    x = pointmap1.reshape(-1, 3).T  # source
-    y = pointmap2.reshape(-1, 3).T  # target
+    x = p1.reshape(-1, 3).T  # source
+    y = p2.reshape(-1, 3).T  # target
     r, t, _, rank_ok = _umeyama_core(x, y, w, with_scale=False)
     ok = rank_ok & (jnp.sum(w) >= 10)
     transform = jnp.eye(4).at[:3, :3].set(r).at[:3, 3].set(t)

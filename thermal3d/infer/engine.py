@@ -83,7 +83,7 @@ class InferenceEngine:
     def _preprocess(self, grays: jnp.ndarray) -> jnp.ndarray:
         """[B, h, w] decoded grayscale (any scale) → enhanced [B, H, W, 3]."""
         b = grays.shape[0]
-        resized = jax.image.resize(grays, (b, *self.config.img_size), method="bilinear")
+        resized = jax.image.resize(grays, (b, *self.config.img_size), method="bilinear", antialias=False)
         return enhance_thermal_contrast(resized)
 
     def infer(self, img1: np.ndarray, img2: Optional[np.ndarray] = None,
@@ -100,23 +100,31 @@ class InferenceEngine:
     def infer_paths(self, paths: List[str], batch_size: int = 16,
                     pad_final: bool = True) -> Dict[str, np.ndarray]:
         """Directory-batch monocular depth over a list of thermal frames
-        (thermal_dustr_inference.py:323-350), batched + device-pipelined."""
-        from thermal3d.preprocess.io import load_thermal_image
+        (thermal_dustr_inference.py:323-350), batched + device-pipelined.
+
+        The returned dict carries a "paths" list of the frames that actually
+        decoded, row-aligned with every array — callers must zip against it,
+        not the input list, since failed decodes are dropped."""
+        from thermal3d.preprocess.io import load_thermal_images_batch
 
         outs: List[Dict[str, np.ndarray]] = []
+        ok_paths: List[str] = []
         n = len(paths)
         for i in range(0, n, batch_size):
             chunk = paths[i : i + batch_size]
-            grays = [load_thermal_image(p, normalize=True) for p in chunk]
-            grays = [g for g in grays if g is not None]
+            grays, survivors = load_thermal_images_batch(
+                chunk, normalize=True, out_hw=self.config.img_size)
             if not grays:
                 continue
             real = len(grays)
+            ok_paths.extend(survivors)
             if pad_final and real < batch_size:
-                grays += [grays[-1]] * (batch_size - real)
+                grays = list(grays) + [grays[-1]] * (batch_size - real)
             stack = np.stack(grays)
             out = self.infer(stack)
             outs.append({k: v[:real] for k, v in out.items()})
         if not outs:
             return {}
-        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        result = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+        result["paths"] = ok_paths
+        return result

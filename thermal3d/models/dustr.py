@@ -54,7 +54,7 @@ class AsymmetricCroCo3DStereo(nn.Module):
             )
             for i in range(cfg.enc_depth)
         ]
-        self.enc_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="enc_norm")
+        self.enc_norm = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="enc_norm")
         self.decoder_embed = nn.Dense(cfg.dec_embed_dim, dtype=dt, name="decoder_embed")
         self.dec_blocks = [
             dec_cls(
@@ -70,7 +70,7 @@ class AsymmetricCroCo3DStereo(nn.Module):
             )
             for i in range(cfg.dec_depth)
         ]
-        self.dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="dec_norm")
+        self.dec_norm = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="dec_norm")
 
         head_type = cfg.head.head_type
         if head_type == "linear":

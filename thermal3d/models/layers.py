@@ -101,9 +101,9 @@ class EncoderBlock(nn.Module):
         c = x.shape[-1]
         x = x + Attention(
             self.num_heads, self.rope_base, self.dtype, self.attention_impl, name="attn"
-        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), pos)
+        )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x), pos)
         x = x + Mlp(int(c * self.mlp_ratio), c, self.dtype, name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         )
         return x
 
@@ -129,13 +129,13 @@ class DecoderBlock(nn.Module):
         c = x.shape[-1]
         x = x + Attention(
             self.num_heads, self.rope_base, self.dtype, self.attention_impl, name="attn"
-        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x), xpos)
-        y_ = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_y")(y)
+        )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x), xpos)
+        y_ = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_y")(y)
         x = x + CrossAttention(
             self.num_heads, self.rope_base, self.dtype, self.attention_impl, name="cross_attn"
-        )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), y_, y_, xpos, ypos)
+        )(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x), y_, y_, xpos, ypos)
         x = x + Mlp(int(c * self.mlp_ratio), c, self.dtype, name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm3")(x)
         )
         return x
 

@@ -9,7 +9,9 @@ toolchain or libpng is unavailable (`available()`).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 import threading
 from typing import List, Optional, Tuple
@@ -18,15 +20,24 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "loader.cpp")
-_SO = os.path.join(_HERE, "libt3dloader.so")
 _lock = threading.Lock()
 _lib = None
 _build_error: Optional[str] = None
 
 
-def _build() -> Optional[str]:
+def _so_path() -> str:
+    # Key the binary on (source hash, host machine): the .so is built with
+    # -march=native, so a binary from another machine may SIGILL — never
+    # dlopen one that this host+source didn't produce. (Binaries are
+    # gitignored; nothing is ever committed.)
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read() + platform.machine().encode()).hexdigest()[:12]
+    return os.path.join(_HERE, f"libt3dloader-{tag}.so")
+
+
+def _build(so: str) -> Optional[str]:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-           "-lpng", "-lpthread", "-o", _SO]
+           "-lpng", "-lpthread", "-o", so]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     except Exception as e:  # g++ missing etc.
@@ -41,8 +52,9 @@ def _load():
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            err = _build()
+        _SO = _so_path()
+        if not os.path.exists(_SO):
+            err = _build(_SO)
             if err is not None:
                 _build_error = err
                 return None

@@ -44,7 +44,11 @@ def percentile_rescale(gray: jnp.ndarray, lo: float = 2.0, hi: float = 98.0) -> 
     p = jnp.percentile(flat, jnp.array([lo, hi]), axis=-1)
     p_lo = p[0][..., None, None]
     p_hi = p[1][..., None, None]
-    return jnp.clip((gray - p_lo) / (p_hi - p_lo), 0.0, 1.0)
+    # Zero-range guard (deliberate robustness fix over the reference, which
+    # divides unguarded and NaNs a constant frame): flat images map to 0.
+    span = p_hi - p_lo
+    scaled = jnp.where(span > 0, (gray - p_lo) / jnp.where(span > 0, span, 1.0), 0.0)
+    return jnp.clip(scaled, 0.0, 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("lo", "hi"))

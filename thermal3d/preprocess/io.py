@@ -58,15 +58,50 @@ def load_thermal_image(path: str, normalize: bool = True) -> Optional[np.ndarray
     img = _imread_anydepth(path)
     if img is None:
         return None
+    # Branch on the DECODED dtype (thermal_dustr_inference.py:36-40: `dtype ==
+    # np.uint16`), not on pixel max: a dark uint16 frame with max ≤ 255 must
+    # still scale by 65535, or enhance_thermal_fixed_range reconstructs wrong
+    # raw counts downstream.
+    is_uint16 = img.dtype == np.uint16
+    is_float = np.issubdtype(img.dtype, np.floating)
     if img.ndim == 3:
         img = img.mean(axis=-1)
     img = img.astype(np.float32)
     if normalize:
-        if img.max() > 255.0:  # uint16 source
+        if is_uint16:
             img = img / 65535.0
-        elif img.max() > 1.0:
+        elif not is_float:  # uint8 and friends
             img = img / 255.0
     return img
+
+
+def load_thermal_images_batch(paths, normalize: bool = True,
+                              out_hw: Optional[Tuple[int, int]] = None):
+    """Batch-decode thermal frames → (list of float32 [h, w], surviving paths).
+
+    When `out_hw` is given and every path is a PNG, decode+resize runs through
+    the native C++ thread-pool loader (thermal3d.native — the TPU-native
+    answer to the reference's cv2-in-DataLoader-workers decode at
+    data/dataset_loader.py:237-266); otherwise falls back to per-image
+    cv2/PIL decode at original resolution. Failed decodes are dropped from
+    both lists (matching the reference's None-skipping)."""
+    paths = list(paths)
+    if out_hw is not None and paths and all(p.lower().endswith(".png") for p in paths):
+        from thermal3d import native
+
+        if native.available():
+            arr, ok = native.load_thermal_batch(paths, tuple(out_hw),
+                                                normalize=normalize)
+            grays = [arr[i] for i in range(len(paths)) if ok[i]]
+            survivors = [p for p, o in zip(paths, ok) if o]
+            return grays, survivors
+    grays, survivors = [], []
+    for p in paths:
+        g = load_thermal_image(p, normalize=normalize)
+        if g is not None:
+            grays.append(g)
+            survivors.append(p)
+    return grays, survivors
 
 
 def load_rgb_image(path: str) -> Optional[np.ndarray]:
@@ -89,7 +124,7 @@ def load_rgb_image(path: str) -> Optional[np.ndarray]:
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def _resize_enhance(gray: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Device-side: bilinear resize + percentile contrast → [H, W, 3]."""
-    resized = jax.image.resize(gray, out_hw, method="bilinear")
+    resized = jax.image.resize(gray, out_hw, method="bilinear", antialias=False)
     return enhance_thermal_contrast(resized)
 
 
@@ -113,12 +148,12 @@ def preprocess_thermal_batch(paths, img_size: Tuple[int, int] = (224, 224)) -> n
         return np.zeros((0, *img_size, 3), dtype=np.float32)
     hw = grays[0].shape
     stack = np.stack([g if g.shape == hw else np.asarray(
-        jax.image.resize(jnp.asarray(g), hw, method="bilinear")) for g in grays])
+        jax.image.resize(jnp.asarray(g), hw, method="bilinear", antialias=False)) for g in grays])
     return np.asarray(_batched_resize_enhance(jnp.asarray(stack), tuple(img_size)))
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def _batched_resize_enhance(grays: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     b = grays.shape[0]
-    resized = jax.image.resize(grays, (b, *out_hw), method="bilinear")
+    resized = jax.image.resize(grays, (b, *out_hw), method="bilinear", antialias=False)
     return enhance_thermal_contrast(resized)

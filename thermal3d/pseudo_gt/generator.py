@@ -79,7 +79,7 @@ def _resize_rgb(img: np.ndarray, hw) -> np.ndarray:
 
         return cv2.resize(img, (hw[1], hw[0]))
     except Exception:
-        return np.asarray(jax.image.resize(jnp.asarray(img), (*hw, 3), method="bilinear"))
+        return np.asarray(jax.image.resize(jnp.asarray(img), (*hw, 3), method="bilinear", antialias=False))
 
 
 def generate_pseudo_gt(pairs: List[Dict[str, str]], output_dir: str,

@@ -44,7 +44,7 @@ def _resize_gt_to(pred_hw: Tuple[int, int], gt: jnp.ndarray) -> jnp.ndarray:
     if gt.shape[1:3] == pred_hw:
         return gt
     out_shape = (b, *pred_hw) + gt.shape[3:]
-    return jax.image.resize(gt, out_shape, method="bilinear")
+    return jax.image.resize(gt, out_shape, method="bilinear", antialias=False)
 
 
 def _batch_loss(pred1, pred2, batch, pred_hw, cfg: TrainConfig):
