@@ -155,6 +155,34 @@ def test_batch_loader(freiburg_tree, pseudo_gt_tree):
     assert len(b2) == len(batches)
 
 
+def test_get_batch_matches_per_sample(freiburg_tree, pseudo_gt_tree):
+    """Batch-level loading (native decode path) ≡ per-sample __getitem__."""
+    root, _ = freiburg_tree
+    ds = FreiburgPairDataset(str(root), img_size=(24, 24),
+                             pseudo_gt_dir=str(pseudo_gt_tree), frame_skip=1)
+    idxs = [0, 3, 5]
+    batch_samples = ds.get_batch(idxs)
+    assert len(batch_samples) == len(idxs)
+    for i, s in zip(idxs, batch_samples):
+        ref = ds[i]
+        assert set(s) == set(ref)
+        for k in s:
+            np.testing.assert_allclose(s[k], ref[k], atol=1e-2, err_msg=k)
+
+
+def test_batch_loader_uses_get_batch(freiburg_tree, pseudo_gt_tree, monkeypatch):
+    root, _ = freiburg_tree
+    ds = FreiburgPairDataset(str(root), img_size=(24, 24),
+                             pseudo_gt_dir=str(pseudo_gt_tree), frame_skip=1)
+    calls = []
+    orig = ds.get_batch
+    monkeypatch.setattr(ds, "get_batch",
+                        lambda idxs: calls.append(list(idxs)) or orig(idxs))
+    batches = list(BatchLoader(ds, batch_size=4, shuffle=False, seed=0))
+    assert calls, "BatchLoader did not route through get_batch"
+    assert len(batches) == len(ds) // 4
+
+
 def test_split_index_disjoint():
     tr, va = split_index(100, val_fraction=0.2, seed=0)
     assert len(tr) == 80 and len(va) == 20

@@ -305,18 +305,47 @@ class FreiburgPairDataset:
             "thermal1": np.repeat(t1[..., None], 3, axis=-1).astype(np.float32),
             "thermal2": np.repeat(t2[..., None], 3, axis=-1).astype(np.float32),
         }
-        gt = pair.get("gt")
-        if gt:
-            pm1 = np.load(gt["pointmap1"]).astype(np.float32)
-            pm2 = np.load(gt["pointmap2"]).astype(np.float32)
-            sample["pointmap1"] = pm1
-            sample["pointmap2"] = pm2
-            ghw = pm1.shape[:2]
-            for key in ("confidence1", "confidence2"):
-                if gt.get(key):
-                    sample[key] = np.load(gt[key]).astype(np.float32)
-                else:
-                    sample[key] = np.ones(ghw, dtype=np.float32)
-            sample["pose"] = (np.load(gt["pose"]).astype(np.float32)
-                              if gt.get("pose") else np.eye(4, dtype=np.float32))
+        self._attach_gt(sample, pair)
         return sample
+
+    def _attach_gt(self, sample: Dict[str, np.ndarray], pair: Dict) -> None:
+        gt = pair.get("gt")
+        if not gt:
+            return
+        pm1 = np.load(gt["pointmap1"]).astype(np.float32)
+        pm2 = np.load(gt["pointmap2"]).astype(np.float32)
+        sample["pointmap1"] = pm1
+        sample["pointmap2"] = pm2
+        ghw = pm1.shape[:2]
+        for key in ("confidence1", "confidence2"):
+            if gt.get(key):
+                sample[key] = np.load(gt[key]).astype(np.float32)
+            else:
+                sample[key] = np.ones(ghw, dtype=np.float32)
+        sample["pose"] = (np.load(gt["pose"]).astype(np.float32)
+                          if gt.get("pose") else np.eye(4, dtype=np.float32))
+
+    def get_batch(self, idxs) -> List[Dict[str, np.ndarray]]:
+        """Batch-level loading: ONE native thread-pool decode+resize call for
+        all 2B thermal frames of the batch (the training-pipeline host
+        bottleneck, SURVEY §7 hard part 5), then per-sample pseudo-GT npy
+        loads. Failed decodes drop the whole sample, matching __getitem__.
+        BatchLoader prefers this over per-sample __getitem__ when present."""
+        from thermal3d.preprocess.io import decode_thermal_batch
+
+        pairs = [self.pairs[i] for i in idxs]
+        h, w = self.img_size
+        paths = [p["thermal1"] for p in pairs] + [p["thermal2"] for p in pairs]
+        frames, ok = decode_thermal_batch(paths, (h, w), normalize=False)
+        b = len(pairs)
+        samples: List[Dict[str, np.ndarray]] = []
+        for i, pair in enumerate(pairs):
+            if not (ok[i] and ok[b + i]):
+                continue
+            sample: Dict[str, np.ndarray] = {
+                "thermal1": np.repeat(frames[i][..., None], 3, axis=-1),
+                "thermal2": np.repeat(frames[b + i][..., None], 3, axis=-1),
+            }
+            self._attach_gt(sample, pair)
+            samples.append(sample)
+        return samples

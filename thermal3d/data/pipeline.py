@@ -61,19 +61,28 @@ class BatchLoader:
         bs = self.batch_size
         n_batches = len(order) // bs if self.drop_last else -(-len(order) // bs)
 
+        # batch-level loading (one native thread-pool decode per batch) when
+        # the dataset provides it; per-sample thread mapping otherwise
+        get_batch = getattr(self.dataset, "get_batch", None)
+
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             pending: collections.deque = collections.deque()
 
             def submit(bi):
                 idxs = order[bi * bs : (bi + 1) * bs]
-                pending.append(pool.map(self.dataset.__getitem__, idxs))
+                if get_batch is not None:
+                    pending.append(pool.submit(get_batch, idxs))
+                else:
+                    pending.append(pool.map(self.dataset.__getitem__, idxs))
 
             for bi in range(min(self.prefetch + 1, n_batches)):
                 submit(bi)
             next_submit = min(self.prefetch + 1, n_batches)
 
             for _ in range(n_batches):
-                samples = [s for s in pending.popleft() if s is not None]
+                head = pending.popleft()
+                raw = head.result() if get_batch is not None else head
+                samples = [s for s in raw if s is not None]
                 if next_submit < n_batches:
                     submit(next_submit)
                     next_submit += 1

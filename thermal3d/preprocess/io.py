@@ -104,6 +104,37 @@ def load_thermal_images_batch(paths, normalize: bool = True,
     return grays, survivors
 
 
+def decode_thermal_batch(paths, out_hw: Tuple[int, int], normalize: bool = False):
+    """Aligned batch decode+resize → (float32 [N, H, W], ok bool [N]).
+
+    Rows stay aligned with `paths` (failed decodes are zero-filled with
+    ok=False) — the building block for batch-level dataset loading where the
+    caller handles dropping. Native C++ pool when available, else per-image
+    cv2/PIL decode + resize."""
+    paths = list(paths)
+    h, w = out_hw
+    if paths and all(p.lower().endswith(".png") for p in paths):
+        from thermal3d import native
+
+        if native.available():
+            return native.load_thermal_batch(paths, (h, w), normalize=normalize)
+    out = np.zeros((len(paths), h, w), dtype=np.float32)
+    ok = np.zeros(len(paths), dtype=bool)
+    for i, p in enumerate(paths):
+        g = load_thermal_image(p, normalize=normalize)
+        if g is None:
+            continue
+        if g.shape != (h, w):
+            if _HAS_CV2:
+                g = cv2.resize(g, (w, h))
+            else:
+                g = np.asarray(jax.image.resize(jnp.asarray(g), (h, w),
+                                                "bilinear", antialias=False))
+        out[i] = g
+        ok[i] = True
+    return out, ok
+
+
 def load_rgb_image(path: str) -> Optional[np.ndarray]:
     """Decode an RGB frame → float32 [H, W, 3] in [0, 1]."""
     if not os.path.exists(path):
