@@ -20,6 +20,78 @@ import sys
 import time
 
 
+def _warmup_with_retry(fn):
+    """Run `fn` once, retrying transient remote-compile transport failures
+    (this harness's compile service can drop long-lived connections)."""
+    last_err = None
+    for _ in range(4):
+        try:
+            return fn()
+        except Exception as e:  # jax.errors.JaxRuntimeError UNAVAILABLE
+            last_err = e
+            if "UNAVAILABLE" not in str(e) and "transport" not in str(e):
+                raise
+            time.sleep(60)
+    raise last_err
+
+
+def bench_train(batch: int, n_iters: int, remat: bool):
+    """Training-step throughput (the reference's actual workload,
+    train_thermal_dustr.py:182-363): device-enhance → two-view forward →
+    enhanced thermal-aware loss vs 512² pseudo-GT (in-graph resize) →
+    backward → clip+AdamW, one jitted step. Steps serialize through the
+    donated TrainState dependency chain; clock stops on a loss fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    from thermal3d.core.config import DUSTR_224_LINEAR, TrainConfig
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+    from thermal3d.train.state import create_train_state
+    from thermal3d.train.step import make_train_step
+
+    config = dataclasses.replace(DUSTR_224_LINEAR, compute_dtype="bfloat16",
+                                 remat=remat)
+    model = AsymmetricCroCo3DStereo(config)
+    cfg = TrainConfig(batch_size=batch, use_enhanced_loss=True)
+    h, w = config.img_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, dummy, dummy))(jax.random.key(0))["params"]
+    state = create_train_state(model, params, cfg, steps_per_epoch=1000)
+    step = make_train_step(model, cfg, mesh=None)
+
+    key = jax.random.key(1)
+    ks = jax.random.split(key, 4)
+    batch_data = {
+        "thermal1": jax.random.uniform(ks[0], (batch, h, w, 3), minval=21000., maxval=26000.),
+        "thermal2": jax.random.uniform(ks[1], (batch, h, w, 3), minval=21000., maxval=26000.),
+        # pseudo-GT arrives at MASt3R's 512² and is resized in-graph (train:234-271)
+        "pointmap1": jax.random.uniform(ks[2], (batch, 512, 512, 3), minval=0.1, maxval=5.),
+        "pointmap2": jax.random.uniform(ks[3], (batch, 512, 512, 3), minval=0.1, maxval=5.),
+    }
+
+    def once():
+        nonlocal state
+        state, metrics = step(state, batch_data)
+        return float(metrics["loss"])
+
+    _warmup_with_retry(once)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step(state, batch_data)
+    final = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    fps = batch * n_iters / dt
+    print(json.dumps({
+        "metric": "train_frames_per_sec_per_chip_dustr224",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": None,  # the reference publishes no training throughput
+        "loss": round(final, 4),
+        "step_ms": round(1000 * dt / n_iters, 1),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -27,6 +99,13 @@ def main():
     from thermal3d.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if "--train" in sys.argv:
+        sys.argv.remove("--train")
+        batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+        n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        bench_train(batch, n_iters, remat="--no-remat" not in sys.argv)
+        return
 
     from thermal3d.core.config import DUSTR_224_LINEAR
     from thermal3d.models.dustr import AsymmetricCroCo3DStereo

@@ -1,10 +1,19 @@
-"""Orbax checkpointing: params + opt_state + step, keep-best policy, true
-mid-run resume.
+"""Orbax checkpointing: params + opt_state + step, keep-best + keep-last,
+true mid-run resume.
 
 Upgrades the reference's torch.save best/final dicts
 (train_thermal_dustr.py:512-556) which save optimizer state but never reload
 it (SURVEY.md §5 checkpoint/resume): here `restore` resumes the full
-TrainState.
+TrainState. Two policies live side by side:
+
+  <dir>/best — best-val checkpoints (keep-best policy, like the reference's
+               `*_best.pth` at train:518-532)
+  <dir>/last — every epoch, max_to_keep=1, so resume continues from the TRUE
+               last epoch instead of replaying everything since the last
+               improvement (up to `patience` epochs on a plateau).
+
+Early-stop bookkeeping (best_val, patience) rides in the meta JSON so a
+resumed run stops at the same epoch the uninterrupted run would.
 """
 
 from __future__ import annotations
@@ -12,43 +21,62 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-
 import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
-        options = ocp.CheckpointManagerOptions(
+        best_options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=lambda m: m["val_loss"],
             best_mode="min",
         )
-        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self._best = ocp.CheckpointManager(
+            os.path.join(self.directory, "best"), options=best_options)
+        self._last = ocp.CheckpointManager(
+            os.path.join(self.directory, "last"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1))
 
-    def save(self, step: int, state, val_loss: float, extra: Optional[dict] = None):
-        payload = {"state": state, "meta": {"val_loss": float(val_loss), **(extra or {})}}
-        self._mgr.save(
+    @staticmethod
+    def _save(mgr, step: int, state, val_loss: float, extra: Optional[dict]):
+        meta = {"val_loss": float(val_loss), **(extra or {})}
+        mgr.save(
             step,
             args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
-                meta=ocp.args.JsonSave(payload["meta"]),
+                meta=ocp.args.JsonSave(meta),
             ),
             metrics={"val_loss": float(val_loss)},
         )
-        self._mgr.wait_until_finished()
+        mgr.wait_until_finished()
+
+    def save(self, step: int, state, val_loss: float, extra: Optional[dict] = None):
+        """Record a new BEST checkpoint (call on val improvement)."""
+        self._save(self._best, step, state, val_loss, extra)
+
+    save_best = save
+
+    def save_last(self, step: int, state, val_loss: float,
+                  extra: Optional[dict] = None):
+        """Record the rolling LAST checkpoint (call every epoch)."""
+        self._save(self._last, step, state, val_loss, extra)
 
     def latest_step(self) -> Optional[int]:
-        return self._mgr.latest_step()
+        last = self._last.latest_step()
+        return last if last is not None else self._best.latest_step()
 
     def best_step(self) -> Optional[int]:
-        return self._mgr.best_step()
+        return self._best.best_step()
 
     def restore(self, state_template, step: Optional[int] = None):
-        step = step if step is not None else self._mgr.latest_step()
+        """Resume point: the LAST checkpoint when present (exact resume),
+        else the best."""
+        mgr = self._last if self._last.latest_step() is not None else self._best
+        step = step if step is not None else mgr.latest_step()
         if step is None:
             return None, None
-        restored = self._mgr.restore(
+        restored = mgr.restore(
             step,
             args=ocp.args.Composite(
                 state=ocp.args.StandardRestore(state_template),
@@ -58,23 +86,34 @@ class CheckpointManager:
         return restored["state"], restored["meta"]
 
     def close(self):
-        self._mgr.close()
+        self._best.close()
+        self._last.close()
 
 
 def load_params_from_checkpoint_dir(directory: str, step: Optional[int] = None):
-    """Restore just the model params from an orbax checkpoint directory
-    (template-free — for inference CLIs). Returns (params, meta)."""
-    mgr = ocp.CheckpointManager(os.path.abspath(directory))
-    step = step if step is not None else mgr.latest_step()
-    if step is None:
-        raise FileNotFoundError(f"no checkpoints under {directory}")
-    restored = mgr.restore(
-        step,
-        args=ocp.args.Composite(
-            state=ocp.args.StandardRestore(),
-            meta=ocp.args.JsonRestore(),
-        ),
-    )
-    mgr.close()
-    state = restored["state"]
-    return state["params"], restored["meta"]
+    """Restore just the model params from a checkpoint directory
+    (template-free — for inference CLIs). Prefers the best checkpoint, then
+    last, then a legacy flat layout. Returns (params, meta)."""
+    directory = os.path.abspath(directory)
+    candidates = [os.path.join(directory, "best"),
+                  os.path.join(directory, "last"), directory]
+    for cand in candidates:
+        if not os.path.isdir(cand):
+            continue
+        mgr = ocp.CheckpointManager(cand)
+        found = mgr.latest_step()
+        if found is None:
+            mgr.close()
+            continue
+        use = step if step is not None else found
+        restored = mgr.restore(
+            use,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        mgr.close()
+        state = restored["state"]
+        return state["params"], restored["meta"]
+    raise FileNotFoundError(f"no checkpoints under {directory}")

@@ -60,29 +60,71 @@ def train_and_evaluate(
 
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_epoch = 0
+    best_val = float("inf")
+    patience_counter = 0
     if resume and ckpt is not None and ckpt.latest_step() is not None:
         state, meta = ckpt.restore(state)
         start_epoch = int(meta.get("epoch", 0))
+        # early-stop bookkeeping rides in the meta so a resumed run stops at
+        # the same epoch the uninterrupted run would
+        best_val = float(meta.get("best_val", meta.get("val_loss", float("inf"))))
+        patience_counter = int(meta.get("patience", 0))
 
     train_step = make_train_step(model, cfg, mesh)
     eval_step = make_eval_step(model, cfg, mesh)
 
-    best_val = float("inf")
-    patience_counter = 0
     global_step = int(state.step)
     epochs_run = 0
+    scalar_keys = ("loss", "basic_loss", "edge_loss", "smoothness_loss",
+                   "detail_loss")
+
+    def flush_logs(pending):
+        """One host fetch for a window of per-step device scalars — keeps the
+        per-batch wandb metric stream (train:374-378) WITHOUT a host sync on
+        every step serializing device work."""
+        if not pending:
+            return 0.0, 0
+        import jax
+
+        fetched = jax.device_get([m for _, m in pending])
+        run, n = 0.0, 0
+        for (gs, _), vals in zip(pending, fetched):
+            loss = float(vals["loss"])
+            if np.isfinite(loss):
+                run += loss
+                n += 1
+            logger.log({
+                "batch_loss": loss,
+                "basic_loss": float(vals.get("basic_loss", np.nan)),
+                "edge_loss": float(vals.get("edge_loss", 0.0)) * cfg.loss.edge_weight,
+                "smoothness_loss": float(vals.get("smoothness_loss", 0.0))
+                * cfg.loss.smoothness_weight,
+                "detail_loss": float(vals.get("detail_loss", 0.0)) * cfg.loss.detail_weight,
+                "learning_rate": float(lr_schedule(gs - 1)),
+                "global_step": gs,
+            })
+        pending.clear()
+        return run, n
 
     for epoch in range(start_epoch, cfg.epochs):
         epoch_t0 = time.time()
         running, nb = 0.0, 0
+        pending = []  # (global_step, device-scalar dict) awaiting one fetch
         for bi, batch in enumerate(train_loader):
             if cfg.max_batches is not None and bi >= cfg.max_batches:
                 break
             if "pointmap1" not in batch:
                 continue
             state, metrics = train_step(state, shard_batch(mesh, batch))
-            loss = float(metrics["loss"])
-            if cfg.log_interval and global_step % cfg.log_interval == 0:
+            pending.append((global_step + 1,
+                            {k: metrics[k] for k in scalar_keys if k in metrics}))
+            global_step += 1
+            # fires on the FIRST batch then every log_interval, matching the
+            # reference's `batch_idx % log_interval == 0` (train:325)
+            if cfg.log_interval and (global_step - 1) % cfg.log_interval == 0:
+                r, n = flush_logs(pending)
+                running += r
+                nb += n
                 # wandb sample panels every log_interval steps (train:325-347)
                 try:
                     from thermal3d.viz.panels import (
@@ -97,21 +139,10 @@ def train_and_evaluate(
                            f"sample_ep{epoch + 1}_step{global_step}")
                 except Exception:
                     pass  # visualization must never kill training
-            if np.isfinite(loss):
-                running += loss
-                nb += 1
-            global_step += 1
-            logger.log({
-                "batch_loss": loss,
-                "basic_loss": float(metrics.get("basic_loss", np.nan)),
-                "edge_loss": float(metrics.get("edge_loss", 0.0)) * cfg.loss.edge_weight,
-                "smoothness_loss": float(metrics.get("smoothness_loss", 0.0))
-                * cfg.loss.smoothness_weight,
-                "detail_loss": float(metrics.get("detail_loss", 0.0)) * cfg.loss.detail_weight,
-                "learning_rate": float(lr_schedule(global_step - 1)),
-                "global_step": global_step,
-            })
 
+        r, n = flush_logs(pending)
+        running += r
+        nb += n
         if nb:
             logger.log({"epoch": epoch + 1, "train_loss": running / nb,
                         "epoch_seconds": time.time() - epoch_t0})
@@ -139,15 +170,22 @@ def train_and_evaluate(
         val_loss = val_sum / val_n
         logger.log({"epoch": epoch + 1, "val_loss": val_loss})
 
-        if val_loss < best_val:
+        improved = val_loss < best_val
+        if improved:
             best_val = val_loss
             patience_counter = 0
-            if ckpt is not None:
-                ckpt.save(epoch + 1, state, val_loss, {"epoch": epoch + 1})
         else:
             patience_counter += 1
-            if patience_counter >= cfg.early_stop_patience:
-                break
+        if ckpt is not None:
+            meta = {"epoch": epoch + 1, "best_val": best_val,
+                    "patience": patience_counter}
+            if improved:
+                ckpt.save_best(epoch + 1, state, val_loss, meta)
+            # rolling last checkpoint every epoch → exact resume even when
+            # the epoch didn't improve
+            ckpt.save_last(epoch + 1, state, val_loss, meta)
+        if patience_counter >= cfg.early_stop_patience:
+            break
 
     if ckpt is not None:
         ckpt.close()
