@@ -30,6 +30,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-scale runs gated behind RUN_SLOW=1")
+
+
 @pytest.fixture
 def cpu_devices():
     return jax.devices("cpu")

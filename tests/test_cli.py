@@ -194,3 +194,27 @@ def test_infer_from_orbax_checkpoint(tmp_path, rng, tiny_config):
     got = jax.tree_util.tree_leaves(loaded)
     assert len(ref) == len(got)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]))
+
+
+def test_cli_infer_rectangular_img_size(tmp_path, rng):
+    """--img_size H W with H != W (landscape_only=False semantics,
+    thermal_dustr_model.py:44) runs the full CLI path and saves H×W depth."""
+    import cv2
+    import numpy as np
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    cv2.imwrite(str(frames / "fl_ir_aligned_2000_0.png"),
+                rng.integers(21000, 26000, (40, 64)).astype(np.uint16))
+    out = tmp_path / "out"
+    from thermal3d.cli.infer import main
+
+    main(["--img_path", str(frames), "--output_dir", str(out),
+          "--img_size", "32", "48", "--model_preset", "tiny",
+          "--batch_size", "1", "--no_vis"])
+    import glob
+
+    depths = glob.glob(str(out / "*_depth.npy"))
+    assert len(depths) == 1
+    d = np.load(depths[0])
+    assert d.shape == (32, 48) and np.isfinite(d).all()

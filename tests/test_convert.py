@@ -15,7 +15,8 @@ import torch.nn.functional as F
 from thermal3d.convert.torch_to_flax import convert_state_dict, expected_torch_keys
 from thermal3d.core.config import HeadConfig
 from thermal3d.models.dustr import AsymmetricCroCo3DStereo
-from tests.test_rope import torch_rope2d_oracle
+from tests.test_rope import torch_rope2d_oracle  # noqa: F401 (re-export)
+from tests.torch_oracle import TorchDustr
 
 
 def _tree_shapes(tree, prefix=()):
@@ -96,148 +97,7 @@ def test_wrapper_checkpoint(tiny_config, rng):
 # Full numeric parity: torch oracle of a tiny AsymmetricCroCo3DStereo
 # ---------------------------------------------------------------------------
 
-class _TorchAttention(nn.Module):
-    def __init__(self, dim, heads):
-        super().__init__()
-        self.qkv = nn.Linear(dim, dim * 3)
-        self.proj = nn.Linear(dim, dim)
-        self.heads = heads
-
-    def forward(self, x, pos):
-        b, s, c = x.shape
-        hd = c // self.heads
-        qkv = self.qkv(x).reshape(b, s, 3, self.heads, hd).permute(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        q = torch_rope2d_oracle(q, pos)
-        k = torch_rope2d_oracle(k, pos)
-        attn = (q @ k.transpose(-2, -1)) / math.sqrt(hd)
-        out = attn.softmax(dim=-1) @ v
-        return self.proj(out.transpose(1, 2).reshape(b, s, c))
-
-
-class _TorchCrossAttention(nn.Module):
-    def __init__(self, dim, heads):
-        super().__init__()
-        self.projq = nn.Linear(dim, dim)
-        self.projk = nn.Linear(dim, dim)
-        self.projv = nn.Linear(dim, dim)
-        self.proj = nn.Linear(dim, dim)
-        self.heads = heads
-
-    def forward(self, x, key, value, xpos, ypos):
-        b, sq, c = x.shape
-        sk = key.shape[1]
-        hd = c // self.heads
-        q = self.projq(x).reshape(b, sq, self.heads, hd).transpose(1, 2)
-        k = self.projk(key).reshape(b, sk, self.heads, hd).transpose(1, 2)
-        v = self.projv(value).reshape(b, sk, self.heads, hd).transpose(1, 2)
-        q = torch_rope2d_oracle(q, xpos)
-        k = torch_rope2d_oracle(k, ypos)
-        attn = (q @ k.transpose(-2, -1)) / math.sqrt(hd)
-        out = attn.softmax(dim=-1) @ v
-        return self.proj(out.transpose(1, 2).reshape(b, sq, c))
-
-
-class _TorchMlp(nn.Module):
-    def __init__(self, dim, hidden):
-        super().__init__()
-        self.fc1 = nn.Linear(dim, hidden)
-        self.fc2 = nn.Linear(hidden, dim)
-
-    def forward(self, x):
-        return self.fc2(F.gelu(self.fc1(x)))
-
-
-class _TorchEncBlock(nn.Module):
-    def __init__(self, dim, heads, mlp_ratio=4):
-        super().__init__()
-        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
-        self.attn = _TorchAttention(dim, heads)
-        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
-        self.mlp = _TorchMlp(dim, dim * mlp_ratio)
-
-    def forward(self, x, pos):
-        x = x + self.attn(self.norm1(x), pos)
-        return x + self.mlp(self.norm2(x))
-
-
-class _TorchDecBlock(nn.Module):
-    def __init__(self, dim, heads, mlp_ratio=4):
-        super().__init__()
-        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
-        self.attn = _TorchAttention(dim, heads)
-        self.cross_attn = _TorchCrossAttention(dim, heads)
-        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
-        self.norm3 = nn.LayerNorm(dim, eps=1e-6)
-        self.norm_y = nn.LayerNorm(dim, eps=1e-6)
-        self.mlp = _TorchMlp(dim, dim * mlp_ratio)
-
-    def forward(self, x, y, xpos, ypos):
-        x = x + self.attn(self.norm1(x), xpos)
-        y_ = self.norm_y(y)
-        x = x + self.cross_attn(self.norm2(x), y_, y_, xpos, ypos)
-        return x + self.mlp(self.norm3(x))
-
-
-class _TorchTinyDustr(nn.Module):
-    """Independent torch re-statement of the architecture, linear head."""
-
-    def __init__(self, cfg):
-        super().__init__()
-        e, d, p = cfg.enc_embed_dim, cfg.dec_embed_dim, cfg.patch_size
-        self.cfg = cfg
-        self.patch_embed = nn.ModuleDict(
-            {"proj": nn.Conv2d(3, e, kernel_size=p, stride=p)})
-        self.enc_blocks = nn.ModuleList(
-            [_TorchEncBlock(e, cfg.enc_num_heads) for _ in range(cfg.enc_depth)])
-        self.enc_norm = nn.LayerNorm(e, eps=1e-6)
-        self.decoder_embed = nn.Linear(e, d)
-        self.dec_blocks = nn.ModuleList(
-            [_TorchDecBlock(d, cfg.dec_num_heads) for _ in range(cfg.dec_depth)])
-        self.dec_blocks2 = nn.ModuleList(
-            [_TorchDecBlock(d, cfg.dec_num_heads) for _ in range(cfg.dec_depth)])
-        self.dec_norm = nn.LayerNorm(d, eps=1e-6)
-        self.downstream_head1 = nn.ModuleDict({"proj": nn.Linear(d, 4 * p * p)})
-        self.downstream_head2 = nn.ModuleDict({"proj": nn.Linear(d, 4 * p * p)})
-
-    def _positions(self, h, w):
-        return torch.cartesian_prod(torch.arange(h), torch.arange(w))
-
-    def _encode(self, img):
-        x = self.patch_embed["proj"](img)  # [B, E, h, w]
-        b, e, h, w = x.shape
-        x = x.flatten(2).transpose(1, 2)
-        pos = self._positions(h, w)
-        for blk in self.enc_blocks:
-            x = blk(x, pos)
-        return self.enc_norm(x), pos, (h, w)
-
-    def _head(self, head, tokens, grid):
-        b, s, _ = tokens.shape
-        h, w = grid
-        p = self.cfg.patch_size
-        feat = head["proj"](tokens)
-        feat = feat.transpose(-1, -2).view(b, -1, h, w)
-        feat = F.pixel_shuffle(feat, p)  # [B, 4, H, W]
-        fmap = feat.permute(0, 2, 3, 1)
-        xyz, conf = fmap[..., :3], fmap[..., 3]
-        n = xyz.norm(dim=-1, keepdim=True)
-        pts = xyz / n.clamp(min=1e-8) * torch.expm1(n)
-        return pts, 1 + conf.exp()
-
-    def forward(self, img1, img2):
-        b = img1.shape[0]
-        feats, pos, grid = self._encode(torch.cat([img1, img2], dim=0))
-        f1, f2 = feats[:b], feats[b:]
-        x1, x2 = self.decoder_embed(f1), self.decoder_embed(f2)
-        for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
-            nx1 = blk1(x1, x2, pos, pos)
-            nx2 = blk2(x2, x1, pos, pos)
-            x1, x2 = nx1, nx2
-        x1, x2 = self.dec_norm(x1), self.dec_norm(x2)
-        pts1, conf1 = self._head(self.downstream_head1, x1, grid)
-        pts2, conf2 = self._head(self.downstream_head2, x2, grid)
-        return (pts1, conf1), (pts2, conf2)
+_TorchTinyDustr = TorchDustr  # shared oracle (tests/torch_oracle.py)
 
 
 def test_full_model_numeric_parity(tiny_config, rng):

@@ -138,3 +138,44 @@ def test_monocular_single_encode_equals_two_view(tiny_config, rng):
                                np.asarray(p2b["pts3d_in_other_view"]), atol=2e-4)
     np.testing.assert_allclose(np.asarray(p1a["conf"]), np.asarray(p1b["conf"]),
                                atol=2e-4)
+
+
+def test_rectangular_input_linear_head(tiny_config):
+    """landscape_only=False semantics (thermal_dustr_model.py:44): the network
+    is H≠W-general — RoPE grid, patch embed, and heads all key off the actual
+    patch grid, not a square assumption."""
+    cfg = dataclasses.replace(tiny_config, img_size=(32, 64))
+    (pred1, pred2), _ = _forward(cfg, batch=1)
+    assert pred1["pts3d"].shape == (1, 32, 64, 3)
+    assert pred1["conf"].shape == (1, 32, 64)
+    assert pred2["pts3d_in_other_view"].shape == (1, 32, 64, 3)
+    assert np.all(np.isfinite(np.asarray(pred1["pts3d"])))
+
+
+def test_rectangular_input_dpt_head(tiny_config):
+    cfg = dataclasses.replace(
+        tiny_config,
+        img_size=(64, 32),
+        head=HeadConfig(head_type="dpt", feature_dim=32, last_dim=16,
+                        dpt_layer_dims=(8, 16, 24, 32)),
+    )
+    (pred1, _), _ = _forward(cfg, batch=1)
+    assert pred1["pts3d"].shape == (1, 64, 32, 3)
+    assert np.all(np.isfinite(np.asarray(pred1["pts3d"])))
+
+
+def test_rectangular_rope_orientation(tiny_config):
+    """A rectangular RoPE grid must distinguish the two axes: transposing the
+    input image is NOT equivalent to transposing the output (positions encode
+    (y, x) separately)."""
+    cfg = dataclasses.replace(tiny_config, img_size=(32, 64))
+    cfg_t = dataclasses.replace(tiny_config, img_size=(64, 32))
+    model = AsymmetricCroCo3DStereo(cfg)
+    model_t = AsymmetricCroCo3DStereo(cfg_t)
+    img = jnp.linspace(0, 1, 32 * 64 * 3).reshape(1, 32, 64, 3)
+    img_t = img.transpose(0, 2, 1, 3)
+    params = model.init(jax.random.key(0), img, img)
+    p1, _ = model.apply(params, img, img)
+    p1t, _ = model_t.apply(params, img_t, img_t)  # same params, transposed grid
+    assert not np.allclose(np.asarray(p1["pts3d"]).transpose(0, 2, 1, 3),
+                           np.asarray(p1t["pts3d"]), atol=1e-3)

@@ -7,3 +7,15 @@ generation, thermal-aware fine-tuning, and depth evaluation — built TPU-first
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Platform pin: THERMAL3D_PLATFORM=cpu forces JAX onto a platform before any
+# backend initializes. Needed because some hosts force-register a TPU plugin
+# whose registration overrides the standard JAX_PLATFORMS env var (the same
+# problem tests/conftest.py solves for pytest); CLIs and scripts get the fix
+# by importing thermal3d first.
+if _os.environ.get("THERMAL3D_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["THERMAL3D_PLATFORM"])

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from thermal3d.core.platform import default_compute_platform as _auto_platform
+
 try:  # pltpu is importable on CPU too; kernels only compile on TPU
     from jax.experimental.pallas import tpu as pltpu
 
@@ -226,15 +228,6 @@ def _mh_bwd(scale, interpret, res, g):
 
 
 _multihead_core.defvjp(_mh_fwd, _mh_bwd)
-
-
-def _auto_platform() -> str:
-    """Platform that ops will actually run on: respects jax_default_device
-    (used by tests to pin CPU on hosts where a TPU plugin is force-registered)."""
-    dev = jax.config.jax_default_device
-    if dev is not None:
-        return dev.platform
-    return jax.default_backend()
 
 
 def attention_bshd(
