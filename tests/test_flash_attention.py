@@ -115,3 +115,45 @@ def test_bf16_scores_path_close_to_f32(rng):
     # bf16 score quantization: small relative error on O(1) outputs
     assert np.abs(fast - exact).max() < 2e-2
     assert np.abs(fast - exact).mean() < 3e-3
+
+
+@pytest.mark.parametrize("group,nh", [(1, 4), (2, 4), (4, 4), (4, 6)])
+def test_grouped_kernel_matches_reference(rng, group, nh):
+    """The head-grouped kernel (grid (B, H/G), no HBM padding, block overruns
+    masked by Pallas) matches reference attention, including when G doesn't
+    divide H (it shrinks to the largest divisor)."""
+    from thermal3d.kernels.flash_attention import _flash_attention_fwd_grouped
+
+    b, s, d = 2, 100, 16
+    q = rng.standard_normal((b, nh, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, nh, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, nh, s, d)).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    out = np.asarray(_flash_attention_fwd_grouped(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale,
+        group=group, interpret=True))
+    ref = np.asarray(_attention_reference(
+        jnp.asarray(q.reshape(b * nh, s, d)), jnp.asarray(k.reshape(b * nh, s, d)),
+        jnp.asarray(v.reshape(b * nh, s, d)), scale)).reshape(b, nh, s, d)
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+def test_grouped_impl_dispatch_and_grad(rng):
+    """impl='pallas_grouped' routes through the grouped kernel and is
+    differentiable via the shared closed-form backward."""
+    b, h, s, d = 1, 4, 32, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)).astype(np.float32))
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, impl="pallas_grouped2",
+                                       interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, impl="xla") ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)

@@ -175,6 +175,79 @@ def _flash_attention_fwd_multihead(q, k, v, *, scale: float, interpret: bool = F
     return out[:, :, :sq, :d]
 
 
+def _grouped_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float,
+                    group: int):
+    """One grid program per (batch, head-group): `group` heads computed
+    sequentially with scores resident in VMEM. Unlike the q-blocked kernel,
+    inputs are NOT pre-padded in HBM (the round-1 kernel's jnp.pad of D
+    64→128 and S→256 cost three full HBM copies + 2× reads — docs/PERF.md);
+    the block shape simply overruns the array and Pallas masks the edges."""
+    for i in range(group):
+        q = q_ref[0, i]  # [S_pad, D] stored dtype (bf16 in prod)
+        k = k_ref[0, i]
+        v = v_ref[0, i]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [S_pad, S_pad] f32
+        s_pad = scores.shape[-1]
+        if valid_len < s_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+            scores = jnp.where(col < valid_len, scores, -1e30)
+            # the block overruns the array: OOB v rows hold garbage (NaN in
+            # interpret mode) and 0·NaN = NaN in the PV matmul — zero them
+            row = jax.lax.broadcasted_iota(jnp.int32, v.shape, dimension=0)
+            v = jnp.where(row < valid_len, v, jnp.zeros_like(v))
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / denom
+        o_ref[0, i] = o.astype(o_ref.dtype)
+
+
+def _flash_attention_fwd_grouped(q, k, v, *, scale: float, group: int = 4,
+                                 interpret: bool = False):
+    """q/k/v: [B, H, S, D] → [B, H, S, D]; grid (B, H/group), no HBM padding."""
+    b, nh, sq, d = q.shape
+    sk = k.shape[2]
+    g = min(group, nh)
+    while nh % g:
+        g -= 1
+    sq_pad = _round_up(sq, 128)
+    sk_pad = _round_up(sk, 128)
+    kernel = functools.partial(_grouped_kernel, valid_len=sk, scale=scale, group=g)
+    mem_space = pltpu.VMEM if _HAS_PLTPU else None
+
+    def bspec(s_pad):
+        shape = (1, g, s_pad, d)
+        index = lambda i, j: (i, j, 0, 0)  # noqa: E731
+        if mem_space is not None:
+            return pl.BlockSpec(shape, index, memory_space=mem_space)
+        return pl.BlockSpec(shape, index)
+
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nh, sq, d), q.dtype),
+        grid=(b, nh // g),
+        in_specs=[bspec(sq_pad), bspec(sk_pad), bspec(sk_pad)],
+        out_specs=bspec(sq_pad),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nh * sq_pad * sk_pad * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=b * nh * sq_pad * sk_pad,
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(q, k, v)
+
+
 def _attention_reference(q, k, v, scale):
     scores = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
     p = jax.nn.softmax(scores, axis=-1)
@@ -205,6 +278,30 @@ def _core_bwd(scale, interpret, res, g):
 
 
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _grouped_core(q, k, v, scale, group, interpret):
+    return _flash_attention_fwd_grouped(q, k, v, scale=scale, group=group,
+                                        interpret=interpret)
+
+
+def _grouped_fwd(q, k, v, scale, group, interpret):
+    return _grouped_core(q, k, v, scale, group, interpret), (q, k, v)
+
+
+def _grouped_bwd(scale, group, interpret, res, g):
+    q, k, v = res  # [B, H, S, D]
+    b, h = q.shape[:2]
+
+    def flat(t):
+        return t.reshape(b * h, *t.shape[2:])
+
+    dq, dk, dv = _core_bwd(scale, interpret, (flat(q), flat(k), flat(v)), flat(g))
+    return (dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape))
+
+
+_grouped_core.defvjp(_grouped_fwd, _grouped_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -253,10 +350,10 @@ def attention_bshd(
     if impl == "auto":
         long_seq = sk >= 2048
         impl = "pallas" if (_auto_platform() == "tpu" and long_seq) else "xla"
-    if impl == "pallas":
+    if impl.startswith("pallas"):
         out = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
-            scale=scale, impl="pallas",
+            scale=scale, impl=impl,
         )
         return out.transpose(0, 2, 1, 3)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -305,6 +402,12 @@ def flash_attention(
         # only there.
         long_seq = sk >= 2048
         impl = "pallas" if (_auto_platform() == "tpu" and long_seq) else "xla"
+
+    if impl.startswith("pallas_grouped"):
+        # grid (B, H/G): G heads per program, VMEM-resident scores, no HBM
+        # padding. 'pallas_grouped' → G=4; 'pallas_grouped8' etc. override.
+        g = int(impl[len("pallas_grouped"):] or 4)
+        return _grouped_core(q, k, v, scale, g, interpret)
 
     if impl == "pallas_multihead":
         # experimental variant: one program per batch element, all heads
