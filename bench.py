@@ -92,6 +92,51 @@ def bench_train(batch: int, n_iters: int, remat: bool):
     }))
 
 
+def bench_pseudo_gt(batch: int, n_iters: int, attn: str):
+    """Pseudo-GT generation throughput (scripts/pseudo_gt.py:507-611 is the
+    reference's second production workload): frozen MASt3R-512 two-view
+    forward + on-device intrinsics + Umeyama pose, one jitted step.
+    Serialized via a depth→input feedback chain; reports PAIRS/s/chip."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from thermal3d.core.config import MASTR_512_CATMLPDPT
+    from thermal3d.pseudo_gt.generator import PseudoGTGenerator
+
+    config = dc.replace(MASTR_512_CATMLPDPT, compute_dtype="bfloat16",
+                        attention_impl=attn)
+    gen = PseudoGTGenerator(config, batch_size=batch)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), gen.params)
+    h, w = config.img_size
+    ks = jax.random.split(jax.random.key(0), 2)
+    rgb1 = jax.random.uniform(ks[0], (batch, h, w, 3))
+    rgb2 = jax.random.uniform(ks[1], (batch, h, w, 3))
+
+    def once(rgb1):
+        out = gen._step(params, rgb1, rgb2)
+        fb = jnp.tanh(jnp.mean(out["depth1"], axis=(1, 2)))[:, None, None, None]
+        return out, rgb1 * (1.0 + fb * 1e-4)
+
+    _, rgb1 = _warmup_with_retry(lambda: once(rgb1))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out, rgb1 = once(rgb1)
+    final = float(out["poses"][0, 0, 0])
+    dt = time.perf_counter() - t0
+    pps = batch * n_iters / dt
+    print(json.dumps({
+        "metric": "pseudo_gt_pairs_per_sec_per_chip_mastr512",
+        "value": round(pps, 3),
+        "unit": "pairs/s",
+        "vs_baseline": None,  # the reference publishes no numbers
+        "step_ms": round(1000 * dt / n_iters, 1),
+        "pose00": round(final, 4),
+        "attn": attn,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -100,11 +145,24 @@ def main():
 
     enable_compilation_cache()
 
+    attn_flag = "auto"
+    for a in list(sys.argv):
+        if a.startswith("--attn="):
+            attn_flag = a.split("=", 1)[1]
+            sys.argv.remove(a)
+
     if "--train" in sys.argv:
         sys.argv.remove("--train")
         batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
         n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
         bench_train(batch, n_iters, remat="--no-remat" not in sys.argv)
+        return
+
+    if "--pseudo-gt" in sys.argv:
+        sys.argv.remove("--pseudo-gt")
+        batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+        n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        bench_pseudo_gt(batch, n_iters, attn_flag)
         return
 
     from thermal3d.core.config import DUSTR_224_LINEAR
@@ -115,7 +173,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     bf16_params = "--f32-params" not in sys.argv  # bf16 weight storage default
-    attn = "auto"
+    attn = attn_flag
     if "--attn-xla" in sys.argv:
         attn = "xla"
     elif "--attn-pallas" in sys.argv:

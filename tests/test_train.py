@@ -265,3 +265,74 @@ def test_resume_after_non_best_epoch(tiny_config, rng, tmp_path, cpu_devices):
     # exactly ONE more epoch ran (epoch 3): no replay of epoch 2
     assert s2["epochs_run"] == 3
     assert s2["final_step"] == 6
+
+
+def test_tensor_parallel_train_step_matches_dp(tiny_config, rng, cpu_devices):
+    """dp4 x tp2 mesh: Megatron-style param shardings (qkv/fc1 column, out
+    proj/fc2 row over the 'model' axis) produce the same step as pure DP —
+    XLA inserts the per-sublayer all-reduces from the specs alone."""
+    from thermal3d.core.mesh import param_partition_spec, shard_state, state_sharding
+
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    params = model.init(jax.random.key(0), img, img)["params"]
+    cfg = TrainConfig(lr=1e-3, epochs=2, use_enhanced_loss=True)
+    batch_host = _tiny_batch(rng)
+
+    # pure-DP reference (donate_argnums frees its state buffers, so the TP
+    # state gets an independent copy of the params)
+    params_tp = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), params)
+    mesh_dp = make_mesh((-1,), ("data",), devices=cpu_devices)
+    state = create_train_state(model, params, cfg, steps_per_epoch=10)
+    step_dp = make_train_step(model, cfg, mesh_dp)
+    _, m_dp = step_dp(state, shard_batch(mesh_dp, batch_host))
+
+    # dp x tp
+    mesh = make_mesh((-1, 2), ("data", "model"), devices=cpu_devices)
+    state2 = create_train_state(model, params_tp, cfg, steps_per_epoch=10)
+    shardings = state_sharding(mesh, state2)
+    state2 = shard_state(mesh, state2)
+    # qkv kernels are actually split over 'model'
+    qkv = state2.params["enc_blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    assert len(qkv.addressable_shards) == 8
+    assert qkv.addressable_shards[0].data.shape[1] == qkv.shape[1] // 2
+
+    step_tp = make_train_step(model, cfg, mesh, state_shardings=shardings)
+    new_state, m_tp = step_tp(state2, shard_batch(mesh, batch_host))
+    assert np.isfinite(float(m_tp["loss"]))
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m_tp["grad_norm"]),
+                               float(m_dp["grad_norm"]), rtol=1e-3)
+    # updated params keep their tensor-parallel placement
+    qkv2 = new_state.params["enc_blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv2.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
+
+def test_param_partition_spec_rules(cpu_devices):
+    from jax.sharding import PartitionSpec as P
+
+    from thermal3d.core.mesh import make_mesh, param_partition_spec
+
+    mesh = make_mesh((-1, 2), ("data", "model"), devices=cpu_devices)
+    cases = [
+        (["params", "enc_blocks_0", "attn", "qkv", "kernel"], 2, P(None, "model")),
+        (["params", "enc_blocks_0", "attn", "qkv", "bias"], 1, P("model")),
+        (["params", "enc_blocks_0", "attn", "proj", "kernel"], 2, P("model", None)),
+        (["params", "enc_blocks_0", "attn", "proj", "bias"], 1, P()),
+        (["params", "dec_blocks_1", "cross_attn", "projk", "kernel"], 2, P(None, "model")),
+        (["params", "dec_blocks_1", "cross_attn", "proj", "kernel"], 2, P("model", None)),
+        (["params", "enc_blocks_0", "mlp", "fc1", "kernel"], 2, P(None, "model")),
+        (["params", "enc_blocks_0", "mlp", "fc2", "kernel"], 2, P("model", None)),
+        (["params", "enc_blocks_0", "norm1", "scale"], 1, P()),
+        (["params", "patch_embed", "proj", "kernel"], 4, P()),
+        (["params", "downstream_head1", "proj", "kernel"], 2, P()),
+        (["step"], 0, P()),
+    ]
+    for names, ndim, want in cases:
+        assert param_partition_spec(names, ndim, mesh) == want, names
+
+    mesh_dp = make_mesh((-1,), ("data",), devices=cpu_devices)
+    assert param_partition_spec(
+        ["params", "enc_blocks_0", "attn", "qkv", "kernel"], 2, mesh_dp) == P()

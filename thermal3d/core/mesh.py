@@ -46,6 +46,78 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# ---------------------------------------------------------------------------
+# Tensor parallelism (Megatron-style): shard each transformer block's first
+# GEMM column-wise and second GEMM row-wise over the 'model' mesh axis, so a
+# block needs ONE all-reduce per sublayer (inserted by XLA from the param
+# shardings — the scaling-book recipe, not hand-written collectives).
+# ---------------------------------------------------------------------------
+
+_COL_SHARDED = ("qkv", "projq", "projk", "projv", "fc1")  # out-dim sharded
+_ROW_SHARDED = ("fc2",)  # in-dim sharded; attn out-proj handled by context
+
+
+def param_partition_spec(path_names: Sequence[str], ndim: int, mesh: Mesh) -> P:
+    """PartitionSpec for one parameter leaf, given its pytree path names.
+
+    Rules (only when the mesh has a 'model' axis):
+      * attn/cross-attn input projections + mlp.fc1 kernels: split the OUTPUT
+        features over 'model' (their biases follow);
+      * attn/cross-attn output proj + mlp.fc2 kernels: split the INPUT
+        features over 'model' (bias replicated — it adds after the reduce);
+      * patch embed, norms, heads, scalars: replicated.
+    """
+    if "model" not in mesh.axis_names:
+        return P()
+    names = list(path_names)
+    leaf = names[-1] if names else ""
+    parent = names[-2] if len(names) >= 2 else ""
+    if any("downstream_head" in n or "patch_embed" in n for n in names):
+        return P()
+    if parent in _COL_SHARDED:
+        if leaf == "kernel" and ndim == 2:
+            return P(None, "model")
+        if leaf == "bias" and ndim == 1:
+            return P("model")
+        return P()
+    if leaf == "kernel" and ndim == 2 and (
+            parent in _ROW_SHARDED
+            or (parent == "proj" and any(
+                n in ("attn", "cross_attn") for n in names))):
+        return P("model", None)
+    return P()
+
+
+def _path_names(path) -> list:
+    out = []
+    for p in path:
+        key = getattr(p, "key", None)
+        if key is None:
+            key = getattr(p, "name", None)
+        if key is None:
+            key = getattr(p, "idx", None)
+        out.append(str(key))
+    return out
+
+
+def state_sharding(mesh: Mesh, state) -> "jax.tree_util.PyTreeDef":
+    """NamedSharding pytree for a TrainState (params + mirrored optimizer
+    moments pick up the tensor-parallel specs; scalars replicate)."""
+    def spec_for(path, leaf):
+        import numpy as _np
+
+        ndim = getattr(leaf, "ndim", _np.ndim(leaf))
+        return NamedSharding(mesh, param_partition_spec(_path_names(path), ndim, mesh))
+
+    return jax.tree_util.tree_map_with_path(spec_for, state)
+
+
+def shard_state(mesh: Mesh, state):
+    """Place a TrainState onto the mesh with tensor-parallel param shardings."""
+    shardings = state_sharding(mesh, state)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays onto the mesh, batch-sharded on axis 0."""
     def _put(x):

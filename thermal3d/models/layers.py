@@ -2,8 +2,11 @@
 
 Re-implements the croco/dust3r block zoo TPU-first: pre-norm ViT blocks with
 RoPE'd self-attention for the encoder, and decoder blocks adding RoPE'd
-cross-attention to the other view's tokens. The attention math runs through
-the fused Pallas kernel on TPU (thermal3d.kernels.flash_attention).
+cross-attention to the other view's tokens. Attention dispatches through
+thermal3d.kernels.flash_attention: XLA fused attention with bf16 score
+materialization at DUSt3R's short sequence lengths (measured faster than
+every Pallas variant end-to-end at S=196/1024 — docs/PERF.md), the Pallas
+kernels only where scores would spill VMEM (S ≥ 2048).
 
 Parameter names deliberately mirror the PyTorch checkpoint key layout
 (`attn.qkv`, `attn.proj`, `cross_attn.projq/projk/projv/proj`, `norm1..3`,

@@ -90,7 +90,8 @@ def _prepare_views(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return out
 
 
-def make_train_step(model, cfg: TrainConfig, mesh: Optional[Mesh] = None) -> Callable:
+def make_train_step(model, cfg: TrainConfig, mesh: Optional[Mesh] = None,
+                    state_shardings=None) -> Callable:
     def train_step(state, batch):
         batch = _prepare_views(batch)
 
@@ -118,10 +119,14 @@ def make_train_step(model, cfg: TrainConfig, mesh: Optional[Mesh] = None) -> Cal
         return jax.jit(train_step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    # state_shardings: per-leaf NamedShardings (core.mesh.state_sharding) for
+    # tensor-parallel runs — params/moments carry 'model'-axis specs and XLA
+    # inserts the per-sublayer all-reduces. Default: replicated params (DP).
+    state_shd = state_shardings if state_shardings is not None else repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_shd, data),
+        out_shardings=(state_shd, repl),
         donate_argnums=(0,),
     )
 
