@@ -157,3 +157,94 @@ def test_grouped_impl_dispatch_and_grad(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3)
+
+
+def test_fused_rope_attention_matches_module(rng):
+    """fused_rope_attention (RoPE in VMEM from tables + attention on the
+    packed [B,S,3C] projection) equals the module's XLA path."""
+    import math
+
+    from thermal3d.kernels.flash_attention import fused_rope_attention
+    from thermal3d.models.rope import apply_rope_2d_bshd, make_grid_positions, rope_tables
+
+    b, h_g, w_g, nh, d = 2, 7, 10, 4, 16
+    s, c = h_g * w_g, nh * d
+    pos = make_grid_positions(h_g, w_g)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * c)), jnp.float32)
+
+    # reference: split → rope → attention
+    qkv_r = qkv.reshape(b, s, 3, nh, d)
+    q = apply_rope_2d_bshd(qkv_r[:, :, 0], pos, 100.0)
+    k = apply_rope_2d_bshd(qkv_r[:, :, 1], pos, 100.0)
+    ref = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                          qkv_r[:, :, 2].transpose(0, 2, 1, 3), impl="xla")
+    ref = np.asarray(ref.transpose(0, 2, 1, 3)).reshape(b, s, c)
+
+    cos, sin = rope_tables(pos, d, 100.0)
+    out = np.asarray(fused_rope_attention(qkv, cos, sin, nh,
+                                          1.0 / math.sqrt(d), 2, True))
+    np.testing.assert_allclose(out, ref, atol=5e-3)
+
+
+def test_fused_rope_attention_grad(rng):
+    """Custom backward (attention VJP + rope transpose) matches autodiff
+    through the reference formulation."""
+    import math
+
+    from thermal3d.kernels.flash_attention import fused_rope_attention
+    from thermal3d.models.rope import apply_rope_2d_bshd, make_grid_positions, rope_tables
+
+    b, h_g, w_g, nh, d = 1, 4, 6, 2, 8
+    s, c = h_g * w_g, nh * d
+    pos = make_grid_positions(h_g, w_g)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * c)), jnp.float32)
+    cos, sin = rope_tables(pos, d, 100.0)
+    scale = 1.0 / math.sqrt(d)
+
+    def loss_fused(qkv):
+        return jnp.sum(fused_rope_attention(qkv, cos, sin, nh, scale, 2, True) ** 2)
+
+    def loss_ref(qkv):
+        qkv_r = qkv.reshape(b, s, 3, nh, d)
+        q = apply_rope_2d_bshd(qkv_r[:, :, 0], pos, 100.0)
+        k = apply_rope_2d_bshd(qkv_r[:, :, 1], pos, 100.0)
+        out = flash_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                              qkv_r[:, :, 2].transpose(0, 2, 1, 3), impl="xla")
+        return jnp.sum(out ** 2)
+
+    g = np.asarray(jax.grad(loss_fused)(qkv))
+    gr = np.asarray(jax.grad(loss_ref)(qkv))
+    np.testing.assert_allclose(g, gr, atol=1e-3, rtol=1e-3)
+
+
+def test_attention_module_fused_impl(rng):
+    """Attention module with attention_impl='pallas_fused' gives the same
+    output as impl='xla' for identical weights (interpret mode on CPU)."""
+    import flax.linen as nn  # noqa: F401
+
+    from thermal3d.models.layers import Attention
+    from thermal3d.models.rope import make_grid_positions
+    import sys
+    from unittest import mock
+
+    import thermal3d.kernels.flash_attention  # noqa: F401
+
+    fa = sys.modules["thermal3d.kernels.flash_attention"]
+
+    b, h_g, w_g, nh = 1, 4, 4, 2
+    s, c = h_g * w_g, nh * 16
+    pos = make_grid_positions(h_g, w_g)
+    x = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+
+    mod_x = Attention(nh, attention_impl="xla")
+    params = mod_x.init(jax.random.key(0), x, pos)
+    want = np.asarray(mod_x.apply(params, x, pos))
+
+    real = fa.fused_rope_attention
+    with mock.patch.object(
+            fa, "fused_rope_attention",
+            lambda qkv, cos, sin, nh_, sc, g: real(qkv, cos, sin, nh_, sc, g,
+                                                   True)):
+        mod_f = Attention(nh, attention_impl="pallas_fused2")
+        got = np.asarray(mod_f.apply(params, x, pos))
+    np.testing.assert_allclose(got, want, atol=5e-3)

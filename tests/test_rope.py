@@ -50,3 +50,29 @@ def test_rope_preserves_norm(rng):
     np.testing.assert_allclose(
         np.linalg.norm(out, axis=-1), np.linalg.norm(tokens, axis=-1), rtol=1e-5
     )
+
+
+def test_rope_tables_match_apply_rope():
+    """t*cos + rot(t)*sin with the precomputed tables equals the reference
+    rope application (the contract the fused attention kernel relies on)."""
+    import jax.numpy as jnp
+
+    from thermal3d.models.rope import (apply_rope_2d_bshd, make_grid_positions,
+                                       rope_tables)
+
+    rng = np.random.default_rng(3)
+    h, w, heads, d = 3, 5, 2, 16
+    pos = make_grid_positions(h, w)
+    t = jnp.asarray(rng.standard_normal((2, h * w, heads, d)), jnp.float32)
+    want = np.asarray(apply_rope_2d_bshd(t, pos, base=100.0))
+
+    cos, sin = rope_tables(pos, d, base=100.0)
+    d4 = d // 4
+    tt = np.asarray(t)
+
+    def rot(x):
+        return np.concatenate([-x[..., d4:2*d4], x[..., :d4],
+                               -x[..., 3*d4:], x[..., 2*d4:3*d4]], axis=-1)
+
+    got = tt * np.asarray(cos)[None, :, None, :] + rot(tt) * np.asarray(sin)[None, :, None, :]
+    np.testing.assert_allclose(got, want, atol=1e-5)

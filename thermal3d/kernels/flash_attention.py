@@ -248,6 +248,154 @@ def _flash_attention_fwd_grouped(q, k, v, *, scale: float, group: int = 4,
     )(q, k, v)
 
 
+def _rot_lanes(t, d: int):
+    """RoPE rotation companion: [-t[d4:2d4], t[:d4], -t[3d4:], t[2d4:3d4]]
+    over the last (lane) axis; matches rope.rope_tables' layout."""
+    d4 = d // 4
+    return jnp.concatenate(
+        [-t[:, d4:2 * d4], t[:, :d4], -t[:, 3 * d4:d], t[:, 2 * d4:3 * d4]],
+        axis=1)
+
+
+def _fused_rope_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
+                       valid_len: int, scale: float, group: int, head_dim: int):
+    """Self-attention over `group` heads with RoPE applied in VMEM.
+
+    q/k/v refs are lane-blocks of the SAME [B, S, 3C] qkv projection output
+    (three views with region-offset index maps — no reshape/transpose/copy of
+    the projection output ever materializes in HBM)."""
+    cos = cos_ref[...]  # [S_pad, D] f32
+    sin = sin_ref[...]
+    for i in range(group):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        q = q_ref[0][:, sl].astype(jnp.float32)
+        k = k_ref[0][:, sl].astype(jnp.float32)
+        v = v_ref[0][:, sl]
+        q = q * cos + _rot_lanes(q, head_dim) * sin
+        k = k * cos + _rot_lanes(k, head_dim) * sin
+        scores = jax.lax.dot_general(
+            q.astype(v.dtype), k.astype(v.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s_pad = scores.shape[-1]
+        if valid_len < s_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < valid_len, scores, -1e30)
+            row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            v = jnp.where(row < valid_len, v, jnp.zeros_like(v))
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / denom
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _fused_rope_attention_fwd(qkv, cos, sin, *, num_heads: int, scale: float,
+                              group: int, interpret: bool):
+    """qkv: [B, S, 3C] (packed projection output) → [B, S, C] attention out."""
+    b, s, three_c = qkv.shape
+    c = three_c // 3
+    d = c // num_heads
+    g = min(group, num_heads)
+    while num_heads % g:
+        g -= 1
+    s_pad = _round_up(s, 128)
+    hb = num_heads // g  # lane-blocks per q/k/v region
+    kernel = functools.partial(_fused_rope_kernel, valid_len=s, scale=scale,
+                               group=g, head_dim=d)
+    mem_space = pltpu.VMEM if _HAS_PLTPU else None
+
+    def bspec(shape, index):
+        if mem_space is not None:
+            return pl.BlockSpec(shape, index, memory_space=mem_space)
+        return pl.BlockSpec(shape, index)
+
+    blk = (1, s_pad, g * d)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+        grid=(b, hb),
+        in_specs=[
+            bspec(blk, lambda i, j: (i, 0, j)),            # q region
+            bspec(blk, lambda i, j: (i, 0, hb + j)),       # k region
+            bspec(blk, lambda i, j: (i, 0, 2 * hb + j)),   # v region
+            bspec((s_pad, d), lambda i, j: (0, 0)),        # cos
+            bspec((s_pad, d), lambda i, j: (0, 0)),        # sin
+        ],
+        out_specs=bspec(blk, lambda i, j: (i, 0, j)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * s_pad * s_pad * d,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize
+            + b * s * c * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * s_pad * s_pad,
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(qkv, qkv, qkv, cos, sin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_rope_attention(qkv, cos, sin, num_heads, scale, group=4,
+                         interpret=False):
+    """Fused RoPE + self-attention on the packed [B, S, 3C] qkv projection
+    output; returns [B, S, C]. RoPE tables from rope.rope_tables."""
+    return _fused_rope_attention_fwd(qkv, cos, sin, num_heads=num_heads,
+                                     scale=scale, group=group,
+                                     interpret=interpret)
+
+
+def _fused_fwd(qkv, cos, sin, num_heads, scale, group, interpret):
+    return (fused_rope_attention(qkv, cos, sin, num_heads, scale, group,
+                                 interpret), (qkv, cos, sin))
+
+
+def _fused_bwd(num_heads, scale, group, interpret, res, g_out):
+    """Closed-form backward in plain jnp (f32): recompute roped q/k, standard
+    attention VJP, then the rope transpose (R^T = -R)."""
+    qkv, cos, sin = res
+    b, s, three_c = qkv.shape
+    c = three_c // 3
+    d = c // num_heads
+    qf = qkv[:, :, :c].reshape(b, s, num_heads, d).astype(jnp.float32)
+    kf = qkv[:, :, c:2 * c].reshape(b, s, num_heads, d).astype(jnp.float32)
+    vf = qkv[:, :, 2 * c:].reshape(b, s, num_heads, d).astype(jnp.float32)
+    gf = g_out.reshape(b, s, num_heads, d).astype(jnp.float32)
+    cb = cos[None, :, None, :]
+    sb = sin[None, :, None, :]
+
+    def rot(t):
+        d4 = d // 4
+        return jnp.concatenate(
+            [-t[..., d4:2 * d4], t[..., :d4],
+             -t[..., 3 * d4:], t[..., 2 * d4:3 * d4]], axis=-1)
+
+    qr = qf * cb + rot(qf) * sb
+    kr = kf * cb + rot(kf) * sb
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qr, kr) * scale
+    p = jax.nn.softmax(scores, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dqr = jnp.einsum("bhqk,bkhd->bqhd", ds, kr) * scale
+    dkr = jnp.einsum("bhqk,bqhd->bkhd", ds, qr) * scale
+    # qr = q*cos + R(q)*sin  ⇒  dq = dqr*cos + Rᵀ(dqr*sin),  Rᵀ = -R
+    dq = dqr * cb - rot(dqr * sb)
+    dk = dkr * cb - rot(dkr * sb)
+    dqkv = jnp.concatenate(
+        [dq.reshape(b, s, c), dk.reshape(b, s, c), dv.reshape(b, s, c)],
+        axis=-1).astype(qkv.dtype)
+    return dqkv, jnp.zeros_like(cos), jnp.zeros_like(sin)
+
+
+fused_rope_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
 def _attention_reference(q, k, v, scale):
     scores = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
     p = jax.nn.softmax(scores, axis=-1)
@@ -347,6 +495,11 @@ def attention_bshd(
     sk = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    if impl.startswith("pallas_fused"):
+        # the fused RoPE+attention kernel only exists for packed self-attn
+        # qkv; cross-attention (separate q/k/v projections) falls back to
+        # the standard dispatch
+        impl = "auto"
     if impl == "auto":
         long_seq = sk >= 2048
         impl = "pallas" if (_auto_platform() == "tpu" and long_seq) else "xla"

@@ -56,6 +56,20 @@ class Attention(nn.Module):
         b, s, c = x.shape
         hd = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        if self.attention_impl.startswith("pallas_fused"):
+            # RoPE + attention fused in one Pallas kernel over the packed
+            # [B,S,3C] projection output — no head-split reshape, no HBM
+            # score round-trips, RoPE applied in VMEM from tables.
+            import math
+
+            from thermal3d.kernels.flash_attention import fused_rope_attention
+            from thermal3d.models.rope import rope_tables
+
+            g = int(self.attention_impl[len("pallas_fused"):] or 4)
+            cos, sin = rope_tables(pos, hd, self.rope_base)
+            out = fused_rope_attention(qkv, cos, sin, self.num_heads,
+                                       1.0 / math.sqrt(hd), g)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
         qkv = qkv.reshape(b, s, 3, self.num_heads, hd)
         # transpose-free [B, S, H, hd] layout end-to-end
         q = apply_rope_2d_bshd(qkv[:, :, 0], pos, self.rope_base)

@@ -45,6 +45,24 @@ def _rope_1d(t: jnp.ndarray, pos: jnp.ndarray, base: float) -> jnp.ndarray:
     return t * cos + _rotate_half(t) * sin
 
 
+def rope_tables(positions: jnp.ndarray, head_dim: int, base: float = 100.0):
+    """Precomputed (cos, sin) tables [S, head_dim] f32 for the 2-D RoPE, laid
+    out so that `t*cos + rot(t)*sin` equals apply_rope_2d_bshd, where
+    rot(t) = [-t[d4:2d4], t[:d4], -t[3d4:], t[2d4:3d4]] (d4 = head_dim//4).
+
+    Used by the fused Pallas attention kernel, which applies RoPE in VMEM
+    instead of a separate HBM pass.
+    """
+    d = head_dim // 2  # per-axis rotary dim (y first half, x second half)
+    inv_freq = 1.0 / (base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))  # [d/2]
+    pos_y = positions[:, 0].astype(jnp.float32)[:, None]  # [S,1]
+    pos_x = positions[:, 1].astype(jnp.float32)[:, None]
+    fy = pos_y * inv_freq  # [S, d/2]
+    fx = pos_x * inv_freq
+    freqs = jnp.concatenate([fy, fy, fx, fx], axis=-1)  # [S, head_dim]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
 def apply_rope_2d(tokens: jnp.ndarray, positions: jnp.ndarray, base: float = 100.0) -> jnp.ndarray:
     """Apply 2-D RoPE.
 
