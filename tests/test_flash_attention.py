@@ -248,3 +248,70 @@ def test_attention_module_fused_impl(rng):
         mod_f = Attention(nh, attention_impl="pallas_fused2")
         got = np.asarray(mod_f.apply(params, x, pos))
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_cross_attention_module_fused_impl(rng):
+    """CrossAttention with attention_impl='pallas_fused' equals the XLA path
+    (same weights; shared grid positions as in the dual decoder)."""
+    import sys
+    from unittest import mock
+
+    import thermal3d.kernels.flash_attention  # noqa: F401
+    from thermal3d.models.layers import CrossAttention
+    from thermal3d.models.rope import make_grid_positions
+
+    fa = sys.modules["thermal3d.kernels.flash_attention"]
+    b, h_g, w_g, nh = 1, 4, 4, 2
+    s, c = h_g * w_g, nh * 16
+    pos = make_grid_positions(h_g, w_g)
+    x = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+
+    mod_x = CrossAttention(nh, attention_impl="xla")
+    params = mod_x.init(jax.random.key(0), x, y, y, pos, pos)
+    want = np.asarray(mod_x.apply(params, x, y, y, pos, pos))
+
+    real = fa.fused_rope_cross_attention
+    with mock.patch.object(
+            fa, "fused_rope_cross_attention",
+            lambda q, k, v, cos, sin, nh_, sc, g: real(
+                q, k, v, cos, sin, nh_, sc, g, True)):
+        mod_f = CrossAttention(nh, attention_impl="pallas_fused2")
+        got = np.asarray(mod_f.apply(params, x, y, y, pos, pos))
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_cross_attention_fused_grad(rng):
+    """fused_rope_cross_attention backward matches autodiff through the
+    reference path."""
+    import math
+
+    from thermal3d.kernels.flash_attention import fused_rope_cross_attention
+    from thermal3d.models.rope import apply_rope_2d_bshd, make_grid_positions, rope_tables
+
+    b, h_g, w_g, nh, d = 1, 3, 4, 2, 8
+    s, c = h_g * w_g, nh * d
+    pos = make_grid_positions(h_g, w_g)
+    q = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    cos, sin = rope_tables(pos, d, 100.0)
+    scale = 1.0 / math.sqrt(d)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_rope_cross_attention(q, k, v, cos, sin, nh,
+                                                  scale, 2, True) ** 2)
+
+    def loss_ref(q, k, v):
+        qh = apply_rope_2d_bshd(q.reshape(b, s, nh, d), pos, 100.0)
+        kh = apply_rope_2d_bshd(k.reshape(b, s, nh, d), pos, 100.0)
+        out = flash_attention(qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3),
+                              v.reshape(b, s, nh, d).transpose(0, 2, 1, 3),
+                              impl="xla")
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3,
+                                   rtol=1e-3)

@@ -340,6 +340,85 @@ def _fused_rope_attention_fwd(qkv, cos, sin, *, num_heads: int, scale: float,
     )(qkv, qkv, qkv, cos, sin)
 
 
+def _fused_rope_xattn_fwd(q, k, v, cos, sin, *, num_heads: int, scale: float,
+                          group: int, interpret: bool):
+    """Cross-attention variant: q/k/v are SEPARATE [B, S, C] projection
+    outputs (croco projq/projk/projv); same in-VMEM RoPE + attention kernel,
+    region offsets all zero. Requires Sq == Sk (true for DUSt3R's dual
+    decoder: both views share the patch grid)."""
+    b, s, c = q.shape
+    assert k.shape == v.shape == q.shape, "cross-attn kernel needs Sq == Sk"
+    d = c // num_heads
+    g = min(group, num_heads)
+    while num_heads % g:
+        g -= 1
+    s_pad = _round_up(s, 128)
+    hb = num_heads // g
+    kernel = functools.partial(_fused_rope_kernel, valid_len=s, scale=scale,
+                               group=g, head_dim=d)
+    mem_space = pltpu.VMEM if _HAS_PLTPU else None
+
+    def bspec(shape, index):
+        if mem_space is not None:
+            return pl.BlockSpec(shape, index, memory_space=mem_space)
+        return pl.BlockSpec(shape, index)
+
+    blk = (1, s_pad, g * d)
+    kwargs = {}
+    if _HAS_PLTPU and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
+        grid=(b, hb),
+        in_specs=[
+            bspec(blk, lambda i, j: (i, 0, j)),
+            bspec(blk, lambda i, j: (i, 0, j)),
+            bspec(blk, lambda i, j: (i, 0, j)),
+            bspec((s_pad, d), lambda i, j: (0, 0)),
+            bspec((s_pad, d), lambda i, j: (0, 0)),
+        ],
+        out_specs=bspec(blk, lambda i, j: (i, 0, j)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * s_pad * s_pad * d,
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=b * num_heads * s_pad * s_pad,
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(q, k, v, cos, sin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_rope_cross_attention(q, k, v, cos, sin, num_heads, scale, group=4,
+                               interpret=False):
+    """Fused RoPE + cross-attention on separate [B, S, C] q/k/v projection
+    outputs; returns [B, S, C]."""
+    return _fused_rope_xattn_fwd(q, k, v, cos, sin, num_heads=num_heads,
+                                 scale=scale, group=group, interpret=interpret)
+
+
+def _xattn_fwd(q, k, v, cos, sin, num_heads, scale, group, interpret):
+    return (fused_rope_cross_attention(q, k, v, cos, sin, num_heads, scale,
+                                       group, interpret), (q, k, v, cos, sin))
+
+
+def _xattn_bwd(num_heads, scale, group, interpret, res, g_out):
+    q, k, v, cos, sin = res
+    b, s, c = q.shape
+    d = c // num_heads
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    dqkv, dcos, dsin = _fused_bwd(num_heads, scale, group, interpret,
+                                  (qkv, cos, sin), g_out)
+    return (dqkv[:, :, :c], dqkv[:, :, c:2 * c], dqkv[:, :, 2 * c:],
+            dcos, dsin)
+
+
+fused_rope_cross_attention.defvjp(_xattn_fwd, _xattn_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_rope_attention(qkv, cos, sin, num_heads, scale, group=4,
                          interpret=False):

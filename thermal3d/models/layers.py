@@ -92,15 +92,33 @@ class CrossAttention(nn.Module):
         sk = key.shape[1]
         hd = c // self.num_heads
 
+        qp = nn.Dense(c, dtype=self.dtype, name="projq")(x)
+        kp = nn.Dense(c, dtype=self.dtype, name="projk")(key)
+        vp = nn.Dense(c, dtype=self.dtype, name="projv")(value)
+
+        if (self.attention_impl.startswith("pallas_fused") and sq == sk
+                and xpos is ypos):
+            import math
+
+            from thermal3d.kernels.flash_attention import fused_rope_cross_attention
+            from thermal3d.models.rope import rope_tables
+
+            g = int(self.attention_impl[len("pallas_fused"):] or 4)
+            # DUSt3R's dual decoder shares one patch grid: xpos == ypos, so
+            # one table pair serves both sides (asserted structurally by the
+            # kernel's single cos/sin input)
+            cos, sin = rope_tables(xpos, hd, self.rope_base)
+            out = fused_rope_cross_attention(qp, kp, vp, cos, sin,
+                                             self.num_heads,
+                                             1.0 / math.sqrt(hd), g)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
         def heads(t, s):
             return t.reshape(b, s, self.num_heads, hd)  # [B, S, H, hd]
 
-        q = heads(nn.Dense(c, dtype=self.dtype, name="projq")(x), sq)
-        k = heads(nn.Dense(c, dtype=self.dtype, name="projk")(key), sk)
-        v = heads(nn.Dense(c, dtype=self.dtype, name="projv")(value), sk)
-        q = apply_rope_2d_bshd(q, xpos, self.rope_base)
-        k = apply_rope_2d_bshd(k, ypos, self.rope_base)
-        out = attention_bshd(q, k, v, impl=self.attention_impl)
+        q = apply_rope_2d_bshd(heads(qp, sq), xpos, self.rope_base)
+        k = apply_rope_2d_bshd(heads(kp, sk), ypos, self.rope_base)
+        out = attention_bshd(q, k, heads(vp, sk), impl=self.attention_impl)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, sq, c))
 
 
