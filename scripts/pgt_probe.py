@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Probe which piece of the MASt3R-512 pseudo-GT step is slow on-chip.
+
+Uses the chained-feedback methodology (each iteration's output perturbs the
+next iteration's input; clock stops on a scalar host fetch) because
+block_until_ready is not reliable through this harness's TPU relay.
+
+Usage: python scripts/pgt_probe.py [attn] [batch] [iters]
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from thermal3d.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+print("backend:", jax.default_backend())
+
+from thermal3d.core.config import MASTR_512_CATMLPDPT
+from thermal3d.geometry.intrinsics import estimate_camera_intrinsics_jit
+from thermal3d.geometry.umeyama import extract_relative_pose_jit
+from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+attn = sys.argv[1] if len(sys.argv) > 1 else "xla"
+batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+config = dataclasses.replace(MASTR_512_CATMLPDPT, compute_dtype="bfloat16",
+                             attention_impl=attn)
+model = AsymmetricCroCo3DStereo(config)
+h, w = config.img_size
+dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+params = jax.jit(lambda k: model.init(k, dummy, dummy))(jax.random.key(0))["params"]
+params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+ks = jax.random.split(jax.random.key(1), 2)
+rgb1 = jax.random.uniform(ks[0], (batch, h, w, 3))
+rgb2 = jax.random.uniform(ks[1], (batch, h, w, 3))
+
+
+def chain(name, f):
+    """f(x) -> scalar-ish feedback array; chained via x*(1+fb*1e-4)."""
+    @jax.jit
+    def step(x):
+        fb = f(x)
+        return x * (1.0 + jnp.tanh(fb) * 1e-4)
+
+    t0 = time.perf_counter()
+    x = step(rgb1)
+    float(x[0, 0, 0, 0])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = step(x)
+    float(x[0, 0, 0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:28s} compile={compile_s:7.1f}s  run={dt*1000:9.1f} ms")
+
+
+def fb_full(x):
+    pred1, pred2 = model.apply({"params": params}, x, rgb2)
+    return jnp.mean(pred1["pts3d"][..., 2], axis=(1, 2))[:, None, None, None]
+
+
+def fb_geom(x):
+    pred1, pred2 = model.apply({"params": params}, x, rgb2)
+    pm1 = pred1["pts3d"].astype(jnp.float32)
+    pm2 = pred2["pts3d_in_other_view"].astype(jnp.float32)
+    k = jax.vmap(estimate_camera_intrinsics_jit)(pm1, pm1[..., 2])
+    pose = jax.vmap(extract_relative_pose_jit)(pm1, pm2)
+    return (jnp.mean(k, axis=(1, 2)) + jnp.mean(pose, axis=(1, 2))
+            )[:, None, None, None]
+
+
+def fb_enc(x):
+    feats, pos, grid = model.apply({"params": params},
+                                   jnp.concatenate([x, rgb2], 0),
+                                   method=AsymmetricCroCo3DStereo.encode)
+    return jnp.mean(feats[:batch], axis=(1, 2))[:, None, None, None]
+
+
+def fb_encdec(x):
+    def run(m, a, b):
+        feats, pos, grid = m.encode(jnp.concatenate([a, b], 0))
+        outs1, outs2 = m.decode(feats[:batch], feats[batch:], pos)
+        return outs1[-1]
+
+    last = model.apply({"params": params}, x, rgb2, method=run)
+    return jnp.mean(last, axis=(1, 2))[:, None, None, None]
+
+
+chain("encoder only", fb_enc)
+chain("encoder+decoder", fb_encdec)
+chain("forward (with heads)", fb_full)
+chain("forward+geometry (full)", fb_geom)

@@ -315,3 +315,60 @@ def test_cross_attention_fused_grad(rng):
     for a, b_ in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3,
                                    rtol=1e-3)
+
+
+def test_fused_auto_dispatch_policy():
+    """'auto' routes to the fused kernel exactly where it measured faster
+    (TPU, S >= 512, lane-aligned head group — docs/PERF.md shootout)."""
+    import sys
+    from unittest import mock
+
+    import thermal3d.kernels.flash_attention  # noqa: F401
+
+    fa = sys.modules["thermal3d.kernels.flash_attention"]
+    # measured-best head groups at production shapes (v5e)
+    assert fa.fused_auto_group(16, 64, cross=False) == 4
+    assert fa.fused_auto_group(16, 64, cross=True) == 8
+    assert fa.fused_auto_group(12, 64, cross=False) == 2
+    assert fa.fused_auto_group(12, 64, cross=True) == 4
+    assert fa.fused_auto_group(2, 16, cross=False) == 0  # 2*16 < 128 lanes
+
+    with mock.patch.object(fa, "_auto_platform", lambda: "tpu"):
+        assert fa.use_fused_attention(1024, 16, 64)
+        assert fa.use_fused_attention(1024, 12, 64, cross=True)
+        assert not fa.use_fused_attention(196, 16, 64)  # XLA wins at S=196
+        assert not fa.use_fused_attention(1024, 2, 16)  # unalignable heads
+    with mock.patch.object(fa, "_auto_platform", lambda: "cpu"):
+        assert not fa.use_fused_attention(1024, 16, 64)
+
+
+def test_attention_module_auto_fused_equivalence(rng):
+    """On a (mocked) TPU at S=1024 the 'auto' Attention module takes the
+    fused kernel and matches the XLA path numerically."""
+    import sys
+    from unittest import mock
+
+    import thermal3d.kernels.flash_attention  # noqa: F401
+    import thermal3d.models.layers as layers_mod
+    from thermal3d.models.layers import Attention
+    from thermal3d.models.rope import make_grid_positions
+
+    fa = sys.modules["thermal3d.kernels.flash_attention"]
+    b, h_g, w_g, nh, d = 1, 32, 32, 2, 64
+    s, c = h_g * w_g, nh * d
+    pos = make_grid_positions(h_g, w_g)
+    x = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+
+    mod = Attention(nh, attention_impl="xla")
+    params = mod.init(jax.random.key(0), x, pos)
+    want = np.asarray(mod.apply(params, x, pos))
+
+    real = fa.fused_rope_attention
+    with mock.patch.object(layers_mod, "use_fused_attention",
+                           lambda *a, **k: True), \
+         mock.patch.object(fa, "fused_rope_attention",
+                           lambda qkv, cos, sin, nh_, sc, g: real(
+                               qkv, cos, sin, nh_, sc, g, True)):
+        mod_auto = Attention(nh, attention_impl="auto")
+        got = np.asarray(mod_auto.apply(params, x, pos))
+    np.testing.assert_allclose(got, want, atol=5e-3)

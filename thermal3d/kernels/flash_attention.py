@@ -40,6 +40,36 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Below this sequence length XLA's one-big-einsum attention wins (S=196:
+# fused kernel 1.3-2.4x slower — grid overhead + 196→256 pad waste dominate);
+# at and above it the fused RoPE+attention kernel wins 1.2-2.7x (S=1024
+# measured on v5e, scripts/fused_attn_shootout.py / docs/PERF.md).
+FUSED_MIN_SEQ = 512
+
+
+def fused_auto_group(num_heads: int, head_dim: int, cross: bool) -> int:
+    """Head-group size for the fused kernel's 'auto' dispatch, from the v5e
+    shootout at production shapes (docs/PERF.md): encoder (16 heads) self g4
+    / cross g8; decoder (12 heads) self g2 / cross g4. Returns 0 when no
+    group yields a lane-aligned (group*head_dim % 128) block."""
+    if cross:
+        prefs = (8, 4, 2) if num_heads % 8 == 0 else (4, 2)
+    else:
+        prefs = (2, 4) if num_heads == 12 else (4, 2, 8)
+    for g in prefs:
+        if num_heads % g == 0 and (g * head_dim) % 128 == 0:
+            return g
+    return 0
+
+
+def use_fused_attention(seq_len: int, num_heads: int, head_dim: int,
+                        cross: bool = False) -> bool:
+    """True when 'auto' should route RoPE+attention through the fused Pallas
+    kernel: TPU, long-enough sequence, and a lane-aligned head group."""
+    return (_auto_platform() == "tpu" and seq_len >= FUSED_MIN_SEQ
+            and fused_auto_group(num_heads, head_dim, cross) > 0)
+
+
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
     # Keep matmul INPUTS in the stored dtype (bf16 in production) with f32
     # accumulation — f32-input MXU matmuls run at a fraction of the bf16 rate

@@ -2,11 +2,12 @@
 
 Re-implements the croco/dust3r block zoo TPU-first: pre-norm ViT blocks with
 RoPE'd self-attention for the encoder, and decoder blocks adding RoPE'd
-cross-attention to the other view's tokens. Attention dispatches through
-thermal3d.kernels.flash_attention: XLA fused attention with bf16 score
-materialization at DUSt3R's short sequence lengths (measured faster than
-every Pallas variant end-to-end at S=196/1024 — docs/PERF.md), the Pallas
-kernels only where scores would spill VMEM (S ≥ 2048).
+cross-attention to the other view's tokens. Attention dispatch ('auto', all
+measured on v5e — docs/PERF.md): at DUSt3R-224's S=196, XLA fused attention
+with bf16 score materialization (beats every Pallas variant there); at
+MASt3R-512's S=1024 (and any S ≥ 512 on TPU), the fused RoPE+attention
+Pallas kernel, which applies RoPE in VMEM over the packed qkv projection
+output and never round-trips scores to HBM (1.2-2.7× over XLA+rope).
 
 Parameter names deliberately mirror the PyTorch checkpoint key layout
 (`attn.qkv`, `attn.proj`, `cross_attn.projq/projk/projv/proj`, `norm1..3`,
@@ -21,7 +22,9 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from thermal3d.kernels.flash_attention import attention_bshd
+from thermal3d.kernels.flash_attention import (attention_bshd,
+                                               fused_auto_group,
+                                               use_fused_attention)
 from thermal3d.models.rope import apply_rope_2d_bshd
 
 
@@ -56,7 +59,11 @@ class Attention(nn.Module):
         b, s, c = x.shape
         hd = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        if self.attention_impl.startswith("pallas_fused"):
+        impl = self.attention_impl
+        if impl == "auto" and use_fused_attention(s, self.num_heads, hd):
+            # measured: fused kernel wins at S≥512 on TPU (docs/PERF.md)
+            impl = f"pallas_fused{fused_auto_group(self.num_heads, hd, False)}"
+        if impl.startswith("pallas_fused"):
             # RoPE + attention fused in one Pallas kernel over the packed
             # [B,S,3C] projection output — no head-split reshape, no HBM
             # score round-trips, RoPE applied in VMEM from tables.
@@ -65,7 +72,7 @@ class Attention(nn.Module):
             from thermal3d.kernels.flash_attention import fused_rope_attention
             from thermal3d.models.rope import rope_tables
 
-            g = int(self.attention_impl[len("pallas_fused"):] or 4)
+            g = int(impl[len("pallas_fused"):] or 4)
             cos, sin = rope_tables(pos, hd, self.rope_base)
             out = fused_rope_attention(qkv, cos, sin, self.num_heads,
                                        1.0 / math.sqrt(hd), g)
@@ -74,7 +81,7 @@ class Attention(nn.Module):
         # transpose-free [B, S, H, hd] layout end-to-end
         q = apply_rope_2d_bshd(qkv[:, :, 0], pos, self.rope_base)
         k = apply_rope_2d_bshd(qkv[:, :, 1], pos, self.rope_base)
-        out = attention_bshd(q, k, qkv[:, :, 2], impl=self.attention_impl)
+        out = attention_bshd(q, k, qkv[:, :, 2], impl=impl)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, s, c))
 
 
@@ -96,14 +103,18 @@ class CrossAttention(nn.Module):
         kp = nn.Dense(c, dtype=self.dtype, name="projk")(key)
         vp = nn.Dense(c, dtype=self.dtype, name="projv")(value)
 
-        if (self.attention_impl.startswith("pallas_fused") and sq == sk
-                and xpos is ypos):
+        impl = self.attention_impl
+        fusable = sq == sk and xpos is ypos
+        if (impl == "auto" and fusable
+                and use_fused_attention(sk, self.num_heads, hd, cross=True)):
+            impl = f"pallas_fused{fused_auto_group(self.num_heads, hd, True)}"
+        if impl.startswith("pallas_fused") and fusable:
             import math
 
             from thermal3d.kernels.flash_attention import fused_rope_cross_attention
             from thermal3d.models.rope import rope_tables
 
-            g = int(self.attention_impl[len("pallas_fused"):] or 4)
+            g = int(impl[len("pallas_fused"):] or 4)
             # DUSt3R's dual decoder shares one patch grid: xpos == ypos, so
             # one table pair serves both sides (asserted structurally by the
             # kernel's single cos/sin input)
@@ -118,7 +129,7 @@ class CrossAttention(nn.Module):
 
         q = apply_rope_2d_bshd(heads(qp, sq), xpos, self.rope_base)
         k = apply_rope_2d_bshd(heads(kp, sk), ypos, self.rope_base)
-        out = attention_bshd(q, k, heads(vp, sk), impl=self.attention_impl)
+        out = attention_bshd(q, k, heads(vp, sk), impl=impl)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, sq, c))
 
 
