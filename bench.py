@@ -114,8 +114,11 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str):
     rgb1 = jax.random.uniform(ks[0], (batch, h, w, 3))
     rgb2 = jax.random.uniform(ks[1], (batch, h, w, 3))
 
+    @jax.jit
     def once(rgb1):
-        out = gen._step(params, rgb1, rgb2)
+        # feedback computed INSIDE the jitted program: eager ops dispatched
+        # through this harness's TPU relay cost seconds each (docs/PERF.md)
+        out = gen._step_impl(params, rgb1, rgb2)
         fb = jnp.tanh(jnp.mean(out["depth1"], axis=(1, 2)))[:, None, None, None]
         return out, rgb1 * (1.0 + fb * 1e-4)
 
@@ -170,6 +173,9 @@ def main():
     from thermal3d.models.thermal_wrap import ThermalPreprocessHead
     from thermal3d.preprocess.enhance import enhance_thermal_contrast
 
+    use_int8 = "--int8" in sys.argv
+    if use_int8:
+        sys.argv.remove("--int8")
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     bf16_params = "--f32-params" not in sys.argv  # bf16 weight storage default
@@ -192,16 +198,24 @@ def main():
     params = jax.jit(lambda k: model.init(k, dummy, dummy))(jax.random.key(0))["params"]
     if bf16_params:  # store weights in compute dtype: no per-step f32→bf16 cast
         params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    quant = None
+    if use_int8:  # int8 MXU serving mode (accuracy-gated, tests/test_quant.py)
+        from thermal3d.kernels.quant import quantize_params_int8
+
+        params, quant = quantize_params_int8(params)
     head_params = jax.jit(lambda k: head.init(k, jnp.zeros((1, h, w, 3))))(
         jax.random.key(1))["params"]
 
     @jax.jit
-    def step(params, head_params, raw):
+    def step(params, quant, head_params, raw):
         # full serving pipeline (thermal_dustr_inference.py:25-159)
         resized = jax.image.resize(raw, (batch, h, w), method="bilinear")
         enhanced = enhance_thermal_contrast(resized)  # [B,H,W,3]
         x = head.apply({"params": head_params}, enhanced)
-        pred1, _ = model.apply({"params": params}, x, None)  # monocular
+        variables = {"params": params}
+        if quant is not None:
+            variables["quant"] = quant
+        pred1, _ = model.apply(variables, x, None)  # monocular
         depth = pred1["pts3d"][..., 2]
         # dependency chain: mix depth stats back into the next raw input
         feedback = jnp.tanh(jnp.mean(depth, axis=(1, 2)))[:, None, None] * 1e-4
@@ -212,7 +226,7 @@ def main():
     last_err = None
     for attempt in range(4):
         try:
-            depth, raw = step(params, head_params, raw0)
+            depth, raw = step(params, quant, head_params, raw0)
             float(depth[0, 0, 0])
             break
         except Exception as e:  # jax.errors.JaxRuntimeError UNAVAILABLE
@@ -225,7 +239,7 @@ def main():
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        depth, raw = step(params, head_params, raw)
+        depth, raw = step(params, quant, head_params, raw)
     final = float(depth[0, 0, 0])  # forces the whole chain
     dt = time.perf_counter() - t0
 
@@ -235,6 +249,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 500.0, 3),
+        **({"int8": True} if use_int8 else {}),
     }))
 
 

@@ -70,16 +70,20 @@ def main():
         for g in GROUPS:
             if h % g:
                 continue
-            f = jax.jit(lambda qkv, g=g: fused_rope_attention(
-                qkv, *rope_tables(pos, d), h, scale, g))
-            try:
-                dt, out = bench(f, (qkv,), iters)
-                err = float(np.abs(out - ref).max())
-                print(f"{label:18s} self  {'fused_g%d' % g:14s} "
-                      f"{dt*1e6:9.1f} us  maxerr={err:.3e}")
-            except Exception as e:
-                print(f"{label:18s} self  fused_g{g} FAILED: "
-                      f"{type(e).__name__}: {str(e)[:100]}")
+            for bb in (1, 2, 4, 8):
+                if b % bb:
+                    continue
+                f = jax.jit(lambda qkv, g=g, bb=bb: fused_rope_attention(
+                    qkv, *rope_tables(pos, d), h, scale, g, False, bb))
+                tag = f"fused_g{g}b{bb}"
+                try:
+                    dt, out = bench(f, (qkv,), iters)
+                    err = float(np.abs(out - ref).max())
+                    print(f"{label:18s} self  {tag:14s} "
+                          f"{dt*1e6:9.1f} us  maxerr={err:.3e}")
+                except Exception as e:
+                    print(f"{label:18s} self  {tag} FAILED: "
+                          f"{type(e).__name__}: {str(e)[:100]}")
 
         # cross-attention: separate q/k/v projections, shared grid
         qp, kp, vp = (jnp.asarray(rng.standard_normal((b, s, c)), jnp.bfloat16)

@@ -32,8 +32,12 @@ def chained(fn, x0, extra, iters):
 
     def body(c, _):
         y = fn(c, *extra)
-        # cheap dependency: first output column leaks into the carry
-        c2 = c + y[:, :1].astype(c.dtype) * 1e-12
+        # the dependency must consume EVERY output element, or XLA dead-code
+        # -eliminates GEMM columns across scan iterations (measured >peak
+        # "TFLOP/s" with a first-column-only carry); a mean fuses into the
+        # GEMM epilogue so its own cost is negligible
+        c2 = c + jnp.mean(y.astype(jnp.float32), axis=-1, keepdims=True
+                          ).astype(c.dtype) * 1e-12
         return c2, ()
 
     def run(x):
@@ -42,10 +46,10 @@ def chained(fn, x0, extra, iters):
 
     f = jax.jit(run)
     out = f(x0)
-    out.block_until_ready()
+    float(out[0, 0].astype(jnp.float32))  # block_until_ready lies on the relay
     t0 = time.perf_counter()
     out = f(x0)
-    out.block_until_ready()
+    float(out[0, 0].astype(jnp.float32))
     return (time.perf_counter() - t0) / iters
 
 
@@ -59,6 +63,12 @@ def main():
         return jnp.asarray(rng.standard_normal(shape), dtype)
 
     results = []
+    # measurement floor: carry-update-only chain (no GEMM) — dispatch + scan
+    # + scalar-fetch overhead shows up here
+    x0 = mk((M, 1024))
+    dt = chained(lambda c: c[:, :1], x0, (), iters)
+    results.append(("null (no GEMM) floor", dt, 0.0))
+
     for k, n, tag in [(1024, 4096, "fc1"), (4096, 1024, "fc2"),
                       (1024, 3072, "qkv"), (768, 3072, "dec_fc1"),
                       (768, 1024, "head_proj")]:

@@ -43,7 +43,73 @@ def fmt_rows(drift, outs):
     return rows
 
 
+def int8_report():
+    """Append the int8 serving-mode accuracy gate to PARITY.md: depth drift
+    of the quantized engine vs the float engine at production dims, expressed
+    as the BASELINE metric (median-scaled AbsRel on the positive-depth mask,
+    utils/metrics.py:4-69) — the 1%-AbsRel criterion applied to int8."""
+    import numpy as np
+
+    from thermal3d.evaluation.metrics import compute_depth_metrics
+    from thermal3d.infer.engine import InferenceEngine
+
+    t0 = time.time()
+    cfg = dataclasses.replace(DUSTR_224_LINEAR, compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    raw = rng.uniform(21000, 26000, (2, 320, 416)).astype(np.float32)
+    eng_f = InferenceEngine(cfg, use_thermal_head=False, rng_seed=0)
+    eng_q = InferenceEngine(cfg, params=eng_f.params, use_thermal_head=False,
+                            quantize_int8=True)
+    df = eng_f.infer(raw)["depth"]
+    dq = eng_q.infer(raw)["depth"]
+    rel_rms = float(np.linalg.norm(dq - df) / np.linalg.norm(df))
+    ms = [compute_depth_metrics(dq[i], df[i], df[i] > 0, median_scaling=True)
+          for i in range(len(df))]
+    abs_rel = float(np.mean([m["abs_rel"] for m in ms]))
+    d125 = float(np.mean([m["acc_1"] for m in ms]))
+    dt = time.time() - t0
+    lines = [
+        "",
+        "## Int8 serving mode (measured drift — OPT-IN, not the default)",
+        "",
+        "`InferenceEngine(quantize_int8=True)` / `bench.py --int8` runs the",
+        "transformer-trunk GEMMs on the int8 MXU (kernels/quant.py). Drift at",
+        "production dims (ViT-L/224, f32 reference engine, random init,",
+        "batch 2), treating the float engine's depth as GT:",
+        "",
+        f"* relative depth RMS drift: **{rel_rms:.4f}**",
+        f"* δ<1.25 (median-scaled): {d125:.4f}",
+        f"* median-scaled AbsRel on the positive-depth mask: {abs_rel:.4f} —",
+        "  inflated by near-zero depths: a random-init model's depth field",
+        "  crosses zero, so |Δ|/gt blows up on tiny-gt pixels; real DUSt3R",
+        "  depths live in ≈1.8-58 m (golden fixtures) where this term would",
+        "  sit at the RMS-drift level.",
+        "",
+        "Because the BASELINE 1%-AbsRel criterion cannot be conclusively",
+        "verified without released weights, int8 serving stays opt-in; the",
+        "default engine serves bf16 (whose parity IS proven above).",
+        "",
+        f"Regenerate: `python scripts/parity_report.py --int8` ({dt:.0f}s CPU).",
+        "Tiny-scale drift gate in the default suite: tests/test_quant.py.",
+        "",
+    ]
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PARITY.md")
+    with open(out_path) as f:
+        existing = f.read()
+    marker = "\n## Int8 serving mode"
+    if marker in existing:  # idempotent regeneration
+        existing = existing[: existing.index(marker)].rstrip() + "\n"
+    with open(out_path, "w") as f:
+        f.write(existing + "\n".join(lines))
+    print(f"int8 drift: rel_rms={rel_rms:.4f}, delta1={d125:.4f}, "
+          f"abs_rel={abs_rel:.4f}, {dt:.0f}s")
+
+
 def main():
+    if "--int8" in sys.argv:
+        int8_report()
+        return
     t0 = time.time()
     full = "--fast" not in sys.argv
     cfg = DUSTR_224_LINEAR if full else dataclasses.replace(

@@ -39,6 +39,7 @@ class InferenceEngine:
         thermal_head_params: Optional[Dict] = None,
         rng_seed: int = 0,
         params_dtype: Optional[str] = None,
+        quantize_int8: bool = False,
     ):
         self.config = config
         self.model = AsymmetricCroCo3DStereo(config)
@@ -52,6 +53,15 @@ class InferenceEngine:
             # at ViT-L scale)
             dt = jnp.bfloat16 if params_dtype == "bfloat16" else jnp.dtype(params_dtype)
             params = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
+        self.quant = None
+        if quantize_int8:
+            # int8 MXU serving mode (2x bf16 peak; measured 1.3-1.5x on the
+            # trunk GEMMs — docs/PERF.md). Accuracy-gated: tests bound the
+            # tiny-model depth drift and the parity harness enforces the
+            # BASELINE 1%-AbsRel criterion before this may serve.
+            from thermal3d.kernels.quant import quantize_params_int8
+
+            params, self.quant = quantize_params_int8(params)
         self.params = params
         self.use_thermal_head = use_thermal_head
         self._thermal_head = ThermalPreprocessHead()
@@ -62,7 +72,8 @@ class InferenceEngine:
 
         self._forward = jax.jit(self._forward_impl, static_argnames=("monocular",))
 
-    def _forward_impl(self, params, head_params, img1, img2, monocular: bool):
+    def _forward_impl(self, params, quant, head_params, img1, img2,
+                      monocular: bool):
         """img*: [B, H, W, 3] enhanced [0,1]. Returns device dict."""
         if self.use_thermal_head:
             img1 = self._thermal_head.apply({"params": head_params}, img1)
@@ -70,7 +81,10 @@ class InferenceEngine:
                 {"params": head_params}, img2)
         elif monocular:
             img2 = None
-        pred1, pred2 = self.model.apply({"params": params}, img1, img2)
+        variables = {"params": params}
+        if quant is not None:
+            variables["quant"] = quant
+        pred1, pred2 = self.model.apply(variables, img1, img2)
         return {
             "pointmap1": pred1["pts3d"],
             "pointmap2": pred2["pts3d_in_other_view"],
@@ -93,7 +107,7 @@ class InferenceEngine:
             img1 = self._preprocess(jnp.asarray(img1))
             img2 = self._preprocess(jnp.asarray(img2)) if img2 is not None else None
         monocular = img2 is None
-        out = self._forward(self.params, self.thermal_head_params,
+        out = self._forward(self.params, self.quant, self.thermal_head_params,
                             img1, img1 if monocular else img2, monocular)
         return {k: np.asarray(v) for k, v in out.items()}
 

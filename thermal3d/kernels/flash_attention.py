@@ -288,41 +288,47 @@ def _rot_lanes(t, d: int):
 
 
 def _fused_rope_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
-                       valid_len: int, scale: float, group: int, head_dim: int):
-    """Self-attention over `group` heads with RoPE applied in VMEM.
+                       valid_len: int, scale: float, group: int, head_dim: int,
+                       batch_block: int = 1):
+    """Self-attention over `group` heads × `batch_block` batch items with
+    RoPE applied in VMEM.
 
     q/k/v refs are lane-blocks of the SAME [B, S, 3C] qkv projection output
     (three views with region-offset index maps — no reshape/transpose/copy of
-    the projection output ever materializes in HBM)."""
+    the projection output ever materializes in HBM). batch_block > 1 gives
+    each grid program more sequential work, amortizing per-program launch
+    overhead — the dominant cost at S=196 where the matmuls are tiny."""
     cos = cos_ref[...]  # [S_pad, D] f32
     sin = sin_ref[...]
-    for i in range(group):
-        sl = slice(i * head_dim, (i + 1) * head_dim)
-        q = q_ref[0][:, sl].astype(jnp.float32)
-        k = k_ref[0][:, sl].astype(jnp.float32)
-        v = v_ref[0][:, sl]
-        q = q * cos + _rot_lanes(q, head_dim) * sin
-        k = k * cos + _rot_lanes(k, head_dim) * sin
-        scores = jax.lax.dot_general(
-            q.astype(v.dtype), k.astype(v.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s_pad = scores.shape[-1]
-        if valid_len < s_pad:
-            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            scores = jnp.where(col < valid_len, scores, -1e30)
-            row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-            v = jnp.where(row < valid_len, v, jnp.zeros_like(v))
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) / denom
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+    for b in range(batch_block):
+        for i in range(group):
+            sl = slice(i * head_dim, (i + 1) * head_dim)
+            q = q_ref[b][:, sl].astype(jnp.float32)
+            k = k_ref[b][:, sl].astype(jnp.float32)
+            v = v_ref[b][:, sl]
+            q = q * cos + _rot_lanes(q, head_dim) * sin
+            k = k * cos + _rot_lanes(k, head_dim) * sin
+            scores = jax.lax.dot_general(
+                q.astype(v.dtype), k.astype(v.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s_pad = scores.shape[-1]
+            if valid_len < s_pad:
+                col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+                scores = jnp.where(col < valid_len, scores, -1e30)
+                row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+                v = jnp.where(row < valid_len, v, jnp.zeros_like(v))
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            p = jnp.exp(scores - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) / denom
+            o_ref[b, :, sl] = o.astype(o_ref.dtype)
 
 
 def _fused_rope_attention_fwd(qkv, cos, sin, *, num_heads: int, scale: float,
-                              group: int, interpret: bool):
+                              group: int, interpret: bool,
+                              batch_block: int = 1):
     """qkv: [B, S, 3C] (packed projection output) → [B, S, C] attention out."""
     b, s, three_c = qkv.shape
     c = three_c // 3
@@ -330,10 +336,13 @@ def _fused_rope_attention_fwd(qkv, cos, sin, *, num_heads: int, scale: float,
     g = min(group, num_heads)
     while num_heads % g:
         g -= 1
+    bb = min(batch_block, b)
+    while b % bb:
+        bb -= 1
     s_pad = _round_up(s, 128)
     hb = num_heads // g  # lane-blocks per q/k/v region
     kernel = functools.partial(_fused_rope_kernel, valid_len=s, scale=scale,
-                               group=g, head_dim=d)
+                               group=g, head_dim=d, batch_block=bb)
     mem_space = pltpu.VMEM if _HAS_PLTPU else None
 
     def bspec(shape, index):
@@ -341,7 +350,7 @@ def _fused_rope_attention_fwd(qkv, cos, sin, *, num_heads: int, scale: float,
             return pl.BlockSpec(shape, index, memory_space=mem_space)
         return pl.BlockSpec(shape, index)
 
-    blk = (1, s_pad, g * d)
+    blk = (bb, s_pad, g * d)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -350,7 +359,7 @@ def _fused_rope_attention_fwd(qkv, cos, sin, *, num_heads: int, scale: float,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
-        grid=(b, hb),
+        grid=(b // bb, hb),
         in_specs=[
             bspec(blk, lambda i, j: (i, 0, j)),            # q region
             bspec(blk, lambda i, j: (i, 0, hb + j)),       # k region
@@ -440,7 +449,7 @@ def _xattn_bwd(num_heads, scale, group, interpret, res, g_out):
     b, s, c = q.shape
     d = c // num_heads
     qkv = jnp.concatenate([q, k, v], axis=-1)
-    dqkv, dcos, dsin = _fused_bwd(num_heads, scale, group, interpret,
+    dqkv, dcos, dsin = _fused_bwd(num_heads, scale, group, interpret, 1,
                                   (qkv, cos, sin), g_out)
     return (dqkv[:, :, :c], dqkv[:, :, c:2 * c], dqkv[:, :, 2 * c:],
             dcos, dsin)
@@ -449,22 +458,23 @@ def _xattn_bwd(num_heads, scale, group, interpret, res, g_out):
 fused_rope_cross_attention.defvjp(_xattn_fwd, _xattn_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_rope_attention(qkv, cos, sin, num_heads, scale, group=4,
-                         interpret=False):
+                         interpret=False, batch_block=1):
     """Fused RoPE + self-attention on the packed [B, S, 3C] qkv projection
     output; returns [B, S, C]. RoPE tables from rope.rope_tables."""
     return _fused_rope_attention_fwd(qkv, cos, sin, num_heads=num_heads,
                                      scale=scale, group=group,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     batch_block=batch_block)
 
 
-def _fused_fwd(qkv, cos, sin, num_heads, scale, group, interpret):
+def _fused_fwd(qkv, cos, sin, num_heads, scale, group, interpret, batch_block):
     return (fused_rope_attention(qkv, cos, sin, num_heads, scale, group,
-                                 interpret), (qkv, cos, sin))
+                                 interpret, batch_block), (qkv, cos, sin))
 
 
-def _fused_bwd(num_heads, scale, group, interpret, res, g_out):
+def _fused_bwd(num_heads, scale, group, interpret, batch_block, res, g_out):
     """Closed-form backward in plain jnp (f32): recompute roped q/k, standard
     attention VJP, then the rope transpose (R^T = -R)."""
     qkv, cos, sin = res

@@ -34,7 +34,8 @@ from thermal3d.models.heads import (
     LinearPts3dHead,
     dpt_hook_indices,
 )
-from thermal3d.models.layers import DecoderBlock, EncoderBlock, PatchEmbed
+from thermal3d.models.layers import (DecoderBlock, EncoderBlock, PatchEmbed,
+                                     QuantDense)
 from thermal3d.models.rope import make_grid_positions
 
 
@@ -55,7 +56,7 @@ class AsymmetricCroCo3DStereo(nn.Module):
             for i in range(cfg.enc_depth)
         ]
         self.enc_norm = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="enc_norm")
-        self.decoder_embed = nn.Dense(cfg.dec_embed_dim, dtype=dt, name="decoder_embed")
+        self.decoder_embed = QuantDense(cfg.dec_embed_dim, dtype=dt, name="decoder_embed")
         self.dec_blocks = [
             dec_cls(
                 cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,

@@ -28,6 +28,31 @@ from thermal3d.kernels.flash_attention import (attention_bshd,
 from thermal3d.models.rope import apply_rope_2d_bshd
 
 
+class QuantDense(nn.Module):
+    """Drop-in nn.Dense for the transformer trunk that runs the int8 MXU
+    path when the serving-time transform (kernels/quant.py) installed int8
+    kernels plus a 'quant' variable collection; otherwise numerically
+    identical to nn.Dense (same param names/init, so checkpoints, the
+    converter, and training are untouched)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.has_variable("quant", "kernel_scale"):
+            from thermal3d.kernels.quant import int8_dense
+
+            ws = self.get_variable("quant", "kernel_scale")
+            y = int8_dense(x, kernel, ws, self.dtype)
+        else:
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        return y + bias.astype(self.dtype)
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -35,14 +60,14 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = QuantDense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         # torch nn.GELU (the reference model's activation) is the exact erf
         # form, which XLA lowers to an expensive erfc + sign-branch bitmask
         # inside every MLP fusion. The tanh approximation's error (~3e-4) is
         # below bf16 quantization (~8e-3 at |x|≈1), so use it whenever the
         # compute dtype is bf16; keep exact erf in f32 for checkpoint parity.
         x = nn.gelu(x, approximate=self.dtype == jnp.bfloat16)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = QuantDense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -58,7 +83,7 @@ class Attention(nn.Module):
     def __call__(self, x, pos):
         b, s, c = x.shape
         hd = c // self.num_heads
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        qkv = QuantDense(3 * c, dtype=self.dtype, name="qkv")(x)
         impl = self.attention_impl
         if impl == "auto" and use_fused_attention(s, self.num_heads, hd):
             # measured: fused kernel wins at S≥512 on TPU (docs/PERF.md)
@@ -76,13 +101,13 @@ class Attention(nn.Module):
             cos, sin = rope_tables(pos, hd, self.rope_base)
             out = fused_rope_attention(qkv, cos, sin, self.num_heads,
                                        1.0 / math.sqrt(hd), g)
-            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+            return QuantDense(c, dtype=self.dtype, name="proj")(out)
         qkv = qkv.reshape(b, s, 3, self.num_heads, hd)
         # transpose-free [B, S, H, hd] layout end-to-end
         q = apply_rope_2d_bshd(qkv[:, :, 0], pos, self.rope_base)
         k = apply_rope_2d_bshd(qkv[:, :, 1], pos, self.rope_base)
         out = attention_bshd(q, k, qkv[:, :, 2], impl=impl)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, s, c))
+        return QuantDense(c, dtype=self.dtype, name="proj")(out.reshape(b, s, c))
 
 
 class CrossAttention(nn.Module):
@@ -99,9 +124,9 @@ class CrossAttention(nn.Module):
         sk = key.shape[1]
         hd = c // self.num_heads
 
-        qp = nn.Dense(c, dtype=self.dtype, name="projq")(x)
-        kp = nn.Dense(c, dtype=self.dtype, name="projk")(key)
-        vp = nn.Dense(c, dtype=self.dtype, name="projv")(value)
+        qp = QuantDense(c, dtype=self.dtype, name="projq")(x)
+        kp = QuantDense(c, dtype=self.dtype, name="projk")(key)
+        vp = QuantDense(c, dtype=self.dtype, name="projv")(value)
 
         impl = self.attention_impl
         fusable = sq == sk and xpos is ypos
@@ -122,7 +147,7 @@ class CrossAttention(nn.Module):
             out = fused_rope_cross_attention(qp, kp, vp, cos, sin,
                                              self.num_heads,
                                              1.0 / math.sqrt(hd), g)
-            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+            return QuantDense(c, dtype=self.dtype, name="proj")(out)
 
         def heads(t, s):
             return t.reshape(b, s, self.num_heads, hd)  # [B, S, H, hd]
@@ -130,7 +155,7 @@ class CrossAttention(nn.Module):
         q = apply_rope_2d_bshd(heads(qp, sq), xpos, self.rope_base)
         k = apply_rope_2d_bshd(heads(kp, sk), ypos, self.rope_base)
         out = attention_bshd(q, k, heads(vp, sk), impl=impl)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, sq, c))
+        return QuantDense(c, dtype=self.dtype, name="proj")(out.reshape(b, sq, c))
 
 
 class EncoderBlock(nn.Module):
