@@ -177,7 +177,9 @@ def main():
     if use_int8:
         sys.argv.remove("--int8")
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # 30 chained iterations: enough to amortize this harness's per-run relay
+    # dispatch/fetch overhead so the number measures the chip's steady state
+    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     bf16_params = "--f32-params" not in sys.argv  # bf16 weight storage default
     attn = attn_flag
     if "--attn-xla" in sys.argv:

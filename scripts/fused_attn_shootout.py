@@ -100,16 +100,22 @@ def main():
         for g in GROUPS:
             if h % g:
                 continue
-            f = jax.jit(lambda qp, kp, vp, g=g: fused_rope_cross_attention(
-                qp, kp, vp, *rope_tables(pos, d), h, scale, g))
-            try:
-                dt, out = bench(f, (qp, kp, vp), iters)
-                err = float(np.abs(out - ref).max())
-                print(f"{label:18s} cross {'fused_g%d' % g:14s} "
-                      f"{dt*1e6:9.1f} us  maxerr={err:.3e}")
-            except Exception as e:
-                print(f"{label:18s} cross fused_g{g} FAILED: "
-                      f"{type(e).__name__}: {str(e)[:100]}")
+            for bb in (1, 2, 4):
+                if b % bb:
+                    continue
+                f = jax.jit(lambda qp, kp, vp, g=g, bb=bb:
+                            fused_rope_cross_attention(
+                                qp, kp, vp, *rope_tables(pos, d), h, scale,
+                                g, False, bb))
+                tag = f"fused_g{g}b{bb}"
+                try:
+                    dt, out = bench(f, (qp, kp, vp), iters)
+                    err = float(np.abs(out - ref).max())
+                    print(f"{label:18s} cross {tag:14s} "
+                          f"{dt*1e6:9.1f} us  maxerr={err:.3e}")
+                except Exception as e:
+                    print(f"{label:18s} cross {tag} FAILED: "
+                          f"{type(e).__name__}: {str(e)[:100]}")
 
 
 if __name__ == "__main__":

@@ -330,7 +330,7 @@ def test_fused_auto_dispatch_policy():
     assert fa.fused_auto_group(16, 64, cross=False) == 4
     assert fa.fused_auto_group(16, 64, cross=True) == 8
     assert fa.fused_auto_group(12, 64, cross=False) == 2
-    assert fa.fused_auto_group(12, 64, cross=True) == 4
+    assert fa.fused_auto_group(12, 64, cross=True) == 2
     assert fa.fused_auto_group(2, 16, cross=False) == 0  # 2*16 < 128 lanes
 
     with mock.patch.object(fa, "_auto_platform", lambda: "tpu"):

@@ -50,10 +50,10 @@ FUSED_MIN_SEQ = 512
 def fused_auto_group(num_heads: int, head_dim: int, cross: bool) -> int:
     """Head-group size for the fused kernel's 'auto' dispatch, from the v5e
     shootout at production shapes (docs/PERF.md): encoder (16 heads) self g4
-    / cross g8; decoder (12 heads) self g2 / cross g4. Returns 0 when no
+    / cross g8; decoder (12 heads) self g2 / cross g2. Returns 0 when no
     group yields a lane-aligned (group*head_dim % 128) block."""
     if cross:
-        prefs = (8, 4, 2) if num_heads % 8 == 0 else (4, 2)
+        prefs = (8, 4, 2) if num_heads % 8 == 0 else (2, 4)
     else:
         prefs = (2, 4) if num_heads == 12 else (4, 2, 8)
     for g in prefs:
@@ -380,7 +380,7 @@ def _fused_rope_attention_fwd(qkv, cos, sin, *, num_heads: int, scale: float,
 
 
 def _fused_rope_xattn_fwd(q, k, v, cos, sin, *, num_heads: int, scale: float,
-                          group: int, interpret: bool):
+                          group: int, interpret: bool, batch_block: int = 1):
     """Cross-attention variant: q/k/v are SEPARATE [B, S, C] projection
     outputs (croco projq/projk/projv); same in-VMEM RoPE + attention kernel,
     region offsets all zero. Requires Sq == Sk (true for DUSt3R's dual
@@ -391,10 +391,13 @@ def _fused_rope_xattn_fwd(q, k, v, cos, sin, *, num_heads: int, scale: float,
     g = min(group, num_heads)
     while num_heads % g:
         g -= 1
+    bb = min(batch_block, b)
+    while b % bb:
+        bb -= 1
     s_pad = _round_up(s, 128)
     hb = num_heads // g
     kernel = functools.partial(_fused_rope_kernel, valid_len=s, scale=scale,
-                               group=g, head_dim=d)
+                               group=g, head_dim=d, batch_block=bb)
     mem_space = pltpu.VMEM if _HAS_PLTPU else None
 
     def bspec(shape, index):
@@ -402,7 +405,7 @@ def _fused_rope_xattn_fwd(q, k, v, cos, sin, *, num_heads: int, scale: float,
             return pl.BlockSpec(shape, index, memory_space=mem_space)
         return pl.BlockSpec(shape, index)
 
-    blk = (1, s_pad, g * d)
+    blk = (bb, s_pad, g * d)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -411,7 +414,7 @@ def _fused_rope_xattn_fwd(q, k, v, cos, sin, *, num_heads: int, scale: float,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, s, c), q.dtype),
-        grid=(b, hb),
+        grid=(b // bb, hb),
         in_specs=[
             bspec(blk, lambda i, j: (i, 0, j)),
             bspec(blk, lambda i, j: (i, 0, j)),
@@ -430,21 +433,24 @@ def _fused_rope_xattn_fwd(q, k, v, cos, sin, *, num_heads: int, scale: float,
     )(q, k, v, cos, sin)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def fused_rope_cross_attention(q, k, v, cos, sin, num_heads, scale, group=4,
-                               interpret=False):
+                               interpret=False, batch_block=1):
     """Fused RoPE + cross-attention on separate [B, S, C] q/k/v projection
     outputs; returns [B, S, C]."""
     return _fused_rope_xattn_fwd(q, k, v, cos, sin, num_heads=num_heads,
-                                 scale=scale, group=group, interpret=interpret)
+                                 scale=scale, group=group, interpret=interpret,
+                                 batch_block=batch_block)
 
 
-def _xattn_fwd(q, k, v, cos, sin, num_heads, scale, group, interpret):
+def _xattn_fwd(q, k, v, cos, sin, num_heads, scale, group, interpret,
+               batch_block):
     return (fused_rope_cross_attention(q, k, v, cos, sin, num_heads, scale,
-                                       group, interpret), (q, k, v, cos, sin))
+                                       group, interpret, batch_block),
+            (q, k, v, cos, sin))
 
 
-def _xattn_bwd(num_heads, scale, group, interpret, res, g_out):
+def _xattn_bwd(num_heads, scale, group, interpret, batch_block, res, g_out):
     q, k, v, cos, sin = res
     b, s, c = q.shape
     d = c // num_heads
