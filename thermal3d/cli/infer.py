@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="outlier-median + guided + bilateral refinement")
     p.add_argument("--no_vis", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 MXU serving mode (~1.2x faster; opt-in, "
+                        "drift-gated — see PARITY.md)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
@@ -75,7 +78,8 @@ def main(argv=None):
     params, head_params = (loaded if loaded else (None, None))
     engine = InferenceEngine(config, params=params,
                              use_thermal_head=not args.no_thermal_model,
-                             thermal_head_params=head_params)
+                             thermal_head_params=head_params,
+                             quantize_int8=args.int8)
     os.makedirs(args.output_dir, exist_ok=True)
 
     if os.path.isdir(args.img_path):
