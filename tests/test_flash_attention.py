@@ -372,3 +372,30 @@ def test_attention_module_auto_fused_equivalence(rng):
         mod_auto = Attention(nh, attention_impl="auto")
         got = np.asarray(mod_auto.apply(params, x, pos))
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_cross_attention_fused_batch_block(rng):
+    """Batch-blocked cross-attention kernel matches the XLA path."""
+    import math
+
+    from thermal3d.kernels.flash_attention import (attention_bshd,
+                                                   fused_rope_cross_attention)
+    from thermal3d.models.rope import (apply_rope_2d_bshd,
+                                       make_grid_positions, rope_tables)
+
+    b, h_g, w_g, nh, d = 4, 3, 4, 2, 8
+    s, c = h_g * w_g, nh * d
+    pos = make_grid_positions(h_g, w_g)
+    qp = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    cos, sin = rope_tables(pos, d, 100.0)
+
+    q = apply_rope_2d_bshd(qp.reshape(b, s, nh, d), pos)
+    k = apply_rope_2d_bshd(kp.reshape(b, s, nh, d), pos)
+    want = np.asarray(attention_bshd(q, k, vp.reshape(b, s, nh, d),
+                                     impl="xla").reshape(b, s, c))
+    for bb in (1, 2, 4):
+        got = np.asarray(fused_rope_cross_attention(
+            qp, kp, vp, cos, sin, nh, 1.0 / math.sqrt(d), 2, True, bb))
+        np.testing.assert_allclose(got, want, atol=5e-3)

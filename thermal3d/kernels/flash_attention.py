@@ -1,15 +1,23 @@
-"""Fused attention Pallas kernel for TPU.
+"""Fused attention Pallas kernels for TPU.
 
 DUSt3R attention runs at short sequence lengths (196 tokens @224², 1024
-@512²), so the optimal TPU kernel keeps the full K/V for a (batch, head) in
-VMEM and blocks only over queries: scores never round-trip to HBM, the softmax
-is computed in one shot per q-block (no online rescaling needed at S ≤ ~2k),
-and both matmuls hit the MXU with f32 accumulation.
+@512²). The kernels here keep the full K/V for a (batch, head-group) in
+VMEM so scores never round-trip to HBM, compute the softmax in one shot (no
+online rescaling needed at S ≤ ~2k), and run both matmuls on the MXU with
+f32 accumulation. The flagship variants are `fused_rope_attention` /
+`fused_rope_cross_attention`: they consume the RAW qkv / projq/k/v
+projection outputs ([B,S,3C] / [B,S,C]) and apply croco 2-D RoPE in VMEM
+from precomputed tables — no head-split reshape, no RoPE HBM pass, no score
+traffic. Head-group (`group`) and batch-block (`batch_block`) tiling
+amortize per-program launch overhead.
 
-Sequences are padded to a multiple of 128 lanes by the wrapper; padded key
-columns are masked with -inf before the softmax. The op is differentiable: the
-backward pass recomputes attention with standard jnp formulas (cheap at these
-sizes, saves HBM for residuals).
+Dispatch policy (measured on v5e, scripts/fused_attn_shootout.py +
+docs/PERF.md): 'auto' routes through the fused kernels on TPU at
+S ≥ FUSED_MIN_SEQ=512, where they win 1.2-2.7× over XLA+rope (MASt3R-512
+paths); below that XLA's one-big-einsum attention with bf16 score
+materialization wins and 'auto' keeps it (DUSt3R-224 paths). All ops are
+differentiable via custom VJPs that recompute attention with standard jnp
+formulas (cheap at these sizes, saves HBM for residuals).
 
 Replaces the torch SDPA the reference inherits from the external dust3r repo
 (SURVEY.md §2.2, §5 "long-context": flash attention is the per-chip
