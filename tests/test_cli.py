@@ -218,3 +218,22 @@ def test_cli_infer_rectangular_img_size(tmp_path, rng):
     assert len(depths) == 1
     d = np.load(depths[0])
     assert d.shape == (32, 48) and np.isfinite(d).all()
+
+
+def test_infer_model_variant_dpt(tmp_path, rng):
+    """--model_variant dustr512_dpt serves the DPT family member end-to-end."""
+    import cv2
+    import numpy as np
+
+    png = tmp_path / "fl_ir_aligned_0000.png"
+    cv2.imwrite(str(png), rng.integers(21000, 26000, (40, 48)).astype(np.uint16))
+    out = tmp_path / "out"
+    from thermal3d.cli.infer import main
+
+    main(["--img_path", str(png), "--output_dir", str(out),
+          "--model_preset", "tiny", "--img_size", "64", "64",
+          "--compute_dtype", "float32", "--no_vis",
+          "--model_variant", "dustr512_dpt"])
+    files = list(out.glob("*_depth.npy"))
+    assert len(files) == 1
+    assert np.load(files[0]).shape == (64, 64)

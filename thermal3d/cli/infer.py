@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true",
                    help="int8 MXU serving mode (~1.2x faster; opt-in, "
                         "drift-gated — see PARITY.md)")
+    p.add_argument("--model_variant", type=str, default="dustr224_linear",
+                   choices=["dustr224_linear", "dustr512_dpt",
+                            "mastr512_catmlpdpt"],
+                   help="model family member (checkpoint architecture)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
@@ -64,7 +68,8 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from thermal3d.core.config import DUSTR_224_LINEAR
+    from thermal3d.core.config import (DUSTR_224_LINEAR, DUSTR_512_DPT,
+                                       MASTR_512_CATMLPDPT)
     from thermal3d.infer.engine import InferenceEngine
     from thermal3d.preprocess.io import load_thermal_image
     from thermal3d.viz.panels import visualize_depth_result
@@ -72,7 +77,12 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from thermal3d.cli.common import apply_preset
 
-    config = apply_preset(DUSTR_224_LINEAR, args.model_preset, args.img_size,
+    base = {"dustr224_linear": DUSTR_224_LINEAR,
+            "dustr512_dpt": DUSTR_512_DPT,
+            "mastr512_catmlpdpt": MASTR_512_CATMLPDPT}[args.model_variant]
+    if args.model_variant != "dustr224_linear" and args.img_size == [224, 224]:
+        args.img_size = list(base.img_size)  # variant's native resolution
+    config = apply_preset(base, args.model_preset, args.img_size,
                           args.compute_dtype)
     loaded = _load_params(args.weights, config)
     params, head_params = (loaded if loaded else (None, None))

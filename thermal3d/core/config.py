@@ -112,6 +112,16 @@ MASTR_512_CATMLPDPT = DustrModelConfig(
     ),
 )
 
+# The released DUSt3R-512 DPT variant (DUSt3R_ViTLarge_BaseDecoder_512_dpt
+# .pth) — not driven by any reference script (the reference fine-tunes the
+# 224-linear model and uses MASt3R for pseudo-GT), but part of the model
+# family a DUSt3R user expects; same 12-block decoder, plain DPT pts3d head.
+DUSTR_512_DPT = DustrModelConfig(
+    img_size=(512, 512),
+    dec_depth=12,
+    head=HeadConfig(head_type="dpt"),
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class PreprocessConfig:
