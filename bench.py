@@ -154,17 +154,18 @@ def main():
             attn_flag = a.split("=", 1)[1]
             sys.argv.remove(a)
 
+    # positionals = non-flag args, so flag order never breaks int() parsing
+    positional = [a for a in sys.argv[1:] if not a.startswith("-")]
+
     if "--train" in sys.argv:
-        sys.argv.remove("--train")
-        batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-        n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        batch = int(positional[0]) if positional else 8
+        n_iters = int(positional[1]) if len(positional) > 1 else 10
         bench_train(batch, n_iters, remat="--no-remat" not in sys.argv)
         return
 
     if "--pseudo-gt" in sys.argv:
-        sys.argv.remove("--pseudo-gt")
-        batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-        n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        batch = int(positional[0]) if positional else 4
+        n_iters = int(positional[1]) if len(positional) > 1 else 10
         bench_pseudo_gt(batch, n_iters, attn_flag)
         return
 
@@ -174,12 +175,10 @@ def main():
     from thermal3d.preprocess.enhance import enhance_thermal_contrast
 
     use_int8 = "--int8" in sys.argv
-    if use_int8:
-        sys.argv.remove("--int8")
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch = int(positional[0]) if positional else 32
     # 30 chained iterations: enough to amortize this harness's per-run relay
     # dispatch/fetch overhead so the number measures the chip's steady state
-    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    n_iters = int(positional[1]) if len(positional) > 1 else 30
     bf16_params = "--f32-params" not in sys.argv  # bf16 weight storage default
     attn = attn_flag
     if "--attn-xla" in sys.argv:
@@ -223,21 +222,12 @@ def main():
         feedback = jnp.tanh(jnp.mean(depth, axis=(1, 2)))[:, None, None] * 1e-4
         return depth, raw0 * (1.0 + feedback)
 
-    # compile + warmup; retry transient remote-compile transport failures
-    # (this harness's compile service can drop long-lived connections)
-    last_err = None
-    for attempt in range(4):
-        try:
-            depth, raw = step(params, quant, head_params, raw0)
-            float(depth[0, 0, 0])
-            break
-        except Exception as e:  # jax.errors.JaxRuntimeError UNAVAILABLE
-            last_err = e
-            if "UNAVAILABLE" not in str(e) and "transport" not in str(e):
-                raise
-            time.sleep(60)
-    else:
-        raise last_err
+    def warm():
+        depth, raw = step(params, quant, head_params, raw0)
+        float(depth[0, 0, 0])
+        return depth, raw
+
+    depth, raw = _warmup_with_retry(warm)
 
     t0 = time.perf_counter()
     for _ in range(n_iters):

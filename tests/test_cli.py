@@ -23,7 +23,7 @@ def test_infer_parser():
     from thermal3d.cli.infer import build_parser
 
     args = build_parser().parse_args(["--img_path", "x.png"])
-    assert args.img_size == [224, 224]
+    assert args.img_size is None  # resolved to the variant's native resolution
     assert args.output_dir == "inference_results"
     args2 = build_parser().parse_args(
         ["--img_path", "a.png", "--img_path2", "b.png", "--fire_scene",

@@ -336,3 +336,57 @@ def test_param_partition_spec_rules(cpu_devices):
     mesh_dp = make_mesh((-1,), ("data",), devices=cpu_devices)
     assert param_partition_spec(
         ["params", "enc_blocks_0", "attn", "qkv", "kernel"], 2, mesh_dp) == P()
+
+
+def test_checkpoint_legacy_flat_layout_resume(tmp_path):
+    """A pre-best/last-layout dir (checkpoints directly under <dir>) still
+    resumes instead of silently restarting from scratch."""
+    import orbax.checkpoint as ocp
+
+    from thermal3d.train.checkpoint import CheckpointManager
+
+    ckpt_dir = str(tmp_path / "legacy")
+    state = {"params": {"w": np.arange(4, dtype=np.float32)}, "step": 7}
+    legacy = ocp.CheckpointManager(ckpt_dir)
+    legacy.save(7, args=ocp.args.Composite(
+        state=ocp.args.StandardSave(state),
+        meta=ocp.args.JsonSave({"val_loss": 0.5})))
+    legacy.wait_until_finished()
+    legacy.close()
+
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_step() == 7
+    restored, meta = mgr.restore(state)
+    assert restored["step"] == 7
+    assert meta["val_loss"] == 0.5
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  state["params"]["w"])
+    mgr.close()
+
+
+def test_checkpoint_restore_explicit_step_in_best_only(tmp_path):
+    """restore(step=N) finds N in whichever sub-manager holds it — best/ and
+    last/ hold disjoint step sets on plateaus (max_to_keep=1 for last)."""
+    from thermal3d.train.checkpoint import CheckpointManager
+
+    ckpt_dir = str(tmp_path / "ck")
+    mgr = CheckpointManager(ckpt_dir)
+
+    def st(step):
+        return {"params": {"w": np.full(3, float(step), np.float32)},
+                "step": step}
+
+    mgr.save_best(1, st(1), val_loss=0.1)
+    mgr.save_last(1, st(1), val_loss=0.1)
+    mgr.save_last(2, st(2), val_loss=0.4)  # worse: only in last/
+    mgr.save_last(3, st(3), val_loss=0.3)  # rolling last keeps only step 3
+
+    restored, _ = mgr.restore(st(0), step=1)  # lives only in best/
+    assert restored["step"] == 1
+    restored, _ = mgr.restore(st(0), step=3)  # lives only in last/
+    assert restored["step"] == 3
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        mgr.restore(st(0), step=2)  # evicted from last/, never best
+    mgr.close()

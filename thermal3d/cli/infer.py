@@ -22,7 +22,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--img_path", type=str, required=True,
                    help="thermal image or directory of .png frames")
     p.add_argument("--img_path2", type=str, default=None, help="second view (stereo)")
-    p.add_argument("--img_size", type=int, nargs=2, default=[224, 224])
+    p.add_argument("--img_size", type=int, nargs=2, default=None,
+                   help="defaults to the model variant's native resolution "
+                        "(224 224 for dustr224_linear)")
     p.add_argument("--output_dir", type=str, default="inference_results")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--no_thermal_model", action="store_true",
@@ -80,7 +82,7 @@ def main(argv=None):
     base = {"dustr224_linear": DUSTR_224_LINEAR,
             "dustr512_dpt": DUSTR_512_DPT,
             "mastr512_catmlpdpt": MASTR_512_CATMLPDPT}[args.model_variant]
-    if args.model_variant != "dustr224_linear" and args.img_size == [224, 224]:
+    if args.img_size is None:
         args.img_size = list(base.img_size)  # variant's native resolution
     config = apply_preset(base, args.model_preset, args.img_size,
                           args.compute_dtype)

@@ -339,13 +339,23 @@ class FreiburgPairDataset:
         frames, ok = decode_thermal_batch(paths, (h, w), normalize=False)
         b = len(pairs)
         samples: List[Dict[str, np.ndarray]] = []
+        kept: List[int] = []
         for i, pair in enumerate(pairs):
             if not (ok[i] and ok[b + i]):
                 continue
-            sample: Dict[str, np.ndarray] = {
+            samples.append({
                 "thermal1": np.repeat(frames[i][..., None], 3, axis=-1),
                 "thermal2": np.repeat(frames[b + i][..., None], 3, axis=-1),
-            }
-            self._attach_gt(sample, pair)
-            samples.append(sample)
+            })
+            kept.append(i)
+        # pseudo-GT npy loads (~2×3 MB pointmaps per sample at 512²) run in
+        # parallel threads — serializing them here would bottleneck the host
+        # path the batched decode just parallelized
+        if kept:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(kept))) as ex:
+                list(ex.map(lambda si: self._attach_gt(samples[si[0]],
+                                                       pairs[si[1]]),
+                            enumerate(kept)))
         return samples

@@ -104,8 +104,9 @@ class AsymmetricCroCo3DStereo(nn.Module):
         x1 = self.decoder_embed(f1)
         x2 = self.decoder_embed(f2)
         for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
-            nx1 = blk1(x1, x2, pos, pos)
-            nx2 = blk2(x2, x1, pos, pos)
+            # ypos=None: shared patch grid (remat-safe fused-dispatch signal)
+            nx1 = blk1(x1, x2, pos, None)
+            nx2 = blk2(x2, x1, pos, None)
             x1, x2 = nx1, nx2
             outs1.append(x1)
             outs2.append(x2)

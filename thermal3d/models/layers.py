@@ -119,7 +119,10 @@ class CrossAttention(nn.Module):
     attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, key, value, xpos, ypos):
+    def __call__(self, x, key, value, xpos, ypos=None):
+        """ypos=None declares the views SHARE xpos's grid (DUSt3R's dual
+        decoder) — a static signal that survives nn.remat re-tracing, where
+        an `xpos is ypos` identity check on tracers would not."""
         b, sq, c = x.shape
         sk = key.shape[1]
         hd = c // self.num_heads
@@ -129,7 +132,9 @@ class CrossAttention(nn.Module):
         vp = QuantDense(c, dtype=self.dtype, name="projv")(value)
 
         impl = self.attention_impl
-        fusable = sq == sk and xpos is ypos
+        fusable = sq == sk and (ypos is None or xpos is ypos)
+        if ypos is None:
+            ypos = xpos
         if (impl == "auto" and fusable
                 and use_fused_attention(sk, self.num_heads, hd, cross=True)):
             impl = f"pallas_fused{fused_auto_group(self.num_heads, hd, True)}"
@@ -196,7 +201,9 @@ class DecoderBlock(nn.Module):
     attention_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, y, xpos, ypos):
+    def __call__(self, x, y, xpos, ypos=None):
+        """ypos=None means both views share xpos's patch grid (see
+        CrossAttention — keeps the fused-kernel dispatch remat-safe)."""
         c = x.shape[-1]
         x = x + Attention(
             self.num_heads, self.rope_base, self.dtype, self.attention_impl, name="attn"

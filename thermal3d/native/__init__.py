@@ -25,13 +25,30 @@ _lib = None
 _build_error: Optional[str] = None
 
 
+def _cpu_flags() -> bytes:
+    """CPU feature flags — part of the binary cache key. platform.machine()
+    alone can't distinguish x86_64 microarchitectures, and -march=native
+    binaries SIGILL on hosts lacking the build host's ISA extensions (e.g. a
+    repo rsynced between an AVX-512 and a non-AVX-512 machine)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return " ".join(sorted(line.split(":", 1)[1].split())).encode()
+    except OSError:
+        pass
+    return platform.processor().encode()
+
+
 def _so_path() -> str:
-    # Key the binary on (source hash, host machine): the .so is built with
-    # -march=native, so a binary from another machine may SIGILL — never
-    # dlopen one that this host+source didn't produce. (Binaries are
+    # Key the binary on (source hash, machine, CPU feature set): the .so is
+    # built with -march=native, so a binary another CPU produced may SIGILL —
+    # never dlopen one this host+source didn't produce. (Binaries are
     # gitignored; nothing is ever committed.)
     with open(_SRC, "rb") as f:
-        tag = hashlib.sha256(f.read() + platform.machine().encode()).hexdigest()[:12]
+        tag = hashlib.sha256(
+            f.read() + platform.machine().encode() + _cpu_flags()
+        ).hexdigest()[:12]
     return os.path.join(_HERE, f"libt3dloader-{tag}.so")
 
 

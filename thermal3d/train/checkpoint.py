@@ -37,6 +37,19 @@ class CheckpointManager:
         self._last = ocp.CheckpointManager(
             os.path.join(self.directory, "last"),
             options=ocp.CheckpointManagerOptions(max_to_keep=1))
+        # pre-best/last-layout dirs (checkpoints directly under <dir>) must
+        # still resume instead of silently restarting from scratch
+        self._legacy = None
+        if any(s.isdigit() for s in os.listdir(self.directory)
+               if os.path.isdir(os.path.join(self.directory, s))):
+            self._legacy = ocp.CheckpointManager(self.directory)
+
+    def _managers(self):
+        """Resume priority: last (exact) → best → legacy flat layout."""
+        mgrs = [self._last, self._best]
+        if self._legacy is not None:
+            mgrs.append(self._legacy)
+        return mgrs
 
     @staticmethod
     def _save(mgr, step: int, state, val_loss: float, extra: Optional[dict]):
@@ -63,19 +76,37 @@ class CheckpointManager:
         self._save(self._last, step, state, val_loss, extra)
 
     def latest_step(self) -> Optional[int]:
-        last = self._last.latest_step()
-        return last if last is not None else self._best.latest_step()
+        for mgr in self._managers():
+            step = mgr.latest_step()
+            if step is not None:
+                return step
+        return None
 
     def best_step(self) -> Optional[int]:
         return self._best.best_step()
 
     def restore(self, state_template, step: Optional[int] = None):
         """Resume point: the LAST checkpoint when present (exact resume),
-        else the best."""
-        mgr = self._last if self._last.latest_step() is not None else self._best
-        step = step if step is not None else mgr.latest_step()
-        if step is None:
-            return None, None
+        else best, else a legacy flat-layout checkpoint. With an explicit
+        `step`, the manager that actually CONTAINS that step is used (best/
+        and last/ hold disjoint step sets on plateaus)."""
+        mgr = None
+        if step is not None:
+            for cand in self._managers():
+                if step in (cand.all_steps() or []):
+                    mgr = cand
+                    break
+            if mgr is None:
+                raise FileNotFoundError(
+                    f"step {step} not found under {self.directory}")
+        else:
+            for cand in self._managers():
+                if cand.latest_step() is not None:
+                    mgr = cand
+                    break
+            if mgr is None:
+                return None, None
+            step = mgr.latest_step()
         restored = mgr.restore(
             step,
             args=ocp.args.Composite(
@@ -88,6 +119,8 @@ class CheckpointManager:
     def close(self):
         self._best.close()
         self._last.close()
+        if self._legacy is not None:
+            self._legacy.close()
 
 
 def load_params_from_checkpoint_dir(directory: str, step: Optional[int] = None):
@@ -102,7 +135,8 @@ def load_params_from_checkpoint_dir(directory: str, step: Optional[int] = None):
             continue
         mgr = ocp.CheckpointManager(cand)
         found = mgr.latest_step()
-        if found is None:
+        if found is None or (step is not None
+                             and step not in (mgr.all_steps() or [])):
             mgr.close()
             continue
         use = step if step is not None else found
