@@ -158,9 +158,11 @@ def main():
     positional = [a for a in sys.argv[1:] if not a.startswith("-")]
 
     if "--train" in sys.argv:
-        batch = int(positional[0]) if positional else 8
+        batch = int(positional[0]) if positional else 16
         n_iters = int(positional[1]) if len(positional) > 1 else 10
-        bench_train(batch, n_iters, remat="--no-remat" not in sys.argv)
+        # no-remat default: ViT-L/224 activations fit HBM at these batches
+        # and remat costs 24% (101 -> 82 fps at b16, docs/PERF.md)
+        bench_train(batch, n_iters, remat="--remat" in sys.argv)
         return
 
     if "--pseudo-gt" in sys.argv:

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh shape over available devices")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_wandb", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize transformer blocks in the backward "
+                        "pass — trades ~24%% throughput for activation "
+                        "memory (only needed at batches that overflow HBM)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
@@ -59,8 +63,12 @@ def main(argv=None):
 
     from thermal3d.cli.common import apply_preset
 
+    import dataclasses
+
     model_cfg = apply_preset(DUSTR_224_LINEAR, args.model_preset, args.img_size,
                              args.compute_dtype)
+    if args.remat:
+        model_cfg = dataclasses.replace(model_cfg, remat=True)
     cfg = TrainConfig(
         lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
         batch_size=args.batch_size, accumulation_steps=args.accumulation_steps,
