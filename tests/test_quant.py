@@ -90,3 +90,19 @@ def test_quantize_refuses_empty():
     with pytest.raises(ValueError):
         quantize_params_int8({"downstream_head1": {"proj": {
             "kernel": jnp.zeros((4, 4))}}})
+
+
+def test_int8_params_without_scales_fail_loudly(rng, tiny_config):
+    """Quantized kernels without the 'quant' collection must raise, not
+    silently dequantize garbage (e.g. int8 params fed into training)."""
+    import jax
+
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    h, w = tiny_config.img_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.key(0), dummy, dummy)["params"]
+    pq, _ = quantize_params_int8(params)
+    with pytest.raises(ValueError, match="quant"):
+        model.apply({"params": pq}, dummy, dummy)

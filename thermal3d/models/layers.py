@@ -49,6 +49,12 @@ class QuantDense(nn.Module):
             ws = self.get_variable("quant", "kernel_scale")
             y = int8_dense(x, kernel, ws, self.dtype)
         else:
+            if kernel.dtype == jnp.int8:
+                raise ValueError(
+                    "int8-quantized kernel applied without its 'quant' scale "
+                    "collection — pass the quantize_params_int8 output as "
+                    "apply({'params': pq, 'quant': scales}, ...); quantized "
+                    "params are serving-only and cannot be trained")
             y = x.astype(self.dtype) @ kernel.astype(self.dtype)
         return y + bias.astype(self.dtype)
 
