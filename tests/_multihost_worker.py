@@ -1,0 +1,88 @@
+"""Worker + shared step body for the 2-process multi-host DP test.
+
+Run as a script it joins a jax.distributed job (CPU backend) and executes one
+sharded train step over the GLOBAL mesh, printing the loss; imported by
+tests/test_multihost.py it provides the same step body for the 1-process
+reference value, so the comparison exercises identical code.
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import numpy as np
+
+GLOBAL_BATCH = 8
+TINY_KW = dict(img_size=(32, 32), enc_embed_dim=64, enc_depth=2,
+               enc_num_heads=2, dec_embed_dim=48, dec_depth=2, dec_num_heads=2)
+
+
+def make_global_batch():
+    rng = np.random.default_rng(0)
+    b = GLOBAL_BATCH
+    return {
+        "thermal1": rng.uniform(21000, 26000, (b, 32, 32, 3)).astype(np.float32),
+        "thermal2": rng.uniform(21000, 26000, (b, 32, 32, 3)).astype(np.float32),
+        "pointmap1": rng.uniform(0.1, 5, (b, 16, 16, 3)).astype(np.float32),
+        "pointmap2": rng.uniform(0.1, 5, (b, 16, 16, 3)).astype(np.float32),
+        "confidence1": np.ones((b, 16, 16), np.float32),
+        "confidence2": np.ones((b, 16, 16), np.float32),
+    }
+
+
+def run_one_step() -> float:
+    """One sharded train step on the tiny model over ALL global devices.
+
+    Works identically in 1-process and N-process runs: each process feeds its
+    local slice of the same deterministic global batch."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from thermal3d.core.cache import enable_compilation_cache
+    from thermal3d.core.config import DustrModelConfig, TrainConfig
+    from thermal3d.core.mesh import make_mesh, shard_batch_multihost
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+    from thermal3d.train.state import create_train_state
+    from thermal3d.train.step import make_train_step
+
+    enable_compilation_cache()
+    n = len(jax.devices())
+    mesh = make_mesh((n,), ("data",))
+    model = AsymmetricCroCo3DStereo(DustrModelConfig(**TINY_KW))
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    params = model.init(jax.random.key(0), img, img)["params"]
+    cfg = TrainConfig(batch_size=GLOBAL_BATCH)
+    state = create_train_state(model, params, cfg, steps_per_epoch=10)
+    # host-local state → global replicated arrays (required for jit inputs in
+    # multi-process runs; harmless in single-process)
+    repl = NamedSharding(mesh, P())
+    state = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)),
+        state)
+
+    pid, pcount = jax.process_index(), jax.process_count()
+    gb = make_global_batch()
+    local_bs = GLOBAL_BATCH // pcount
+    local = {k: v[pid * local_bs:(pid + 1) * local_bs] for k, v in gb.items()}
+    batch = shard_batch_multihost(mesh, local)
+
+    step = make_train_step(model, cfg, mesh)
+    state, metrics = step(state, batch)
+    return float(metrics["loss"])
+
+
+def main():
+    coordinator, pid, pcount = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    from thermal3d.core.distributed import initialize_multihost
+
+    got_pid, got_pcount = initialize_multihost(coordinator, pcount, pid)
+    assert (got_pid, got_pcount) == (pid, pcount)
+    loss = run_one_step()
+    print(f"MULTIHOST_LOSS {loss:.10f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

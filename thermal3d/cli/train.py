@@ -45,6 +45,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize transformer blocks in the backward "
                         "pass — trades ~24%% throughput for activation "
                         "memory (only needed at batches that overflow HBM)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host DP job via jax.distributed."
+                        "initialize; coordinator/rank come from --coordinator/"
+                        "--num_processes/--process_id or the "
+                        "THERMAL3D_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID "
+                        "env vars (all omitted = Cloud TPU autodetection)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 (multi-host only)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
@@ -52,6 +62,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.multihost:
+        # must run before ANY other jax call in this process
+        from thermal3d.core.distributed import initialize_multihost
+
+        pid, pcount = initialize_multihost(
+            args.coordinator, args.num_processes, args.process_id)
+        print(f"[thermal3d] multihost: process {pid}/{pcount}")
+        if pid != 0:
+            args.no_wandb = True  # side-effect logging on the coordinator only
 
     from thermal3d.core.config import DUSTR_224_LINEAR, LossConfig, TrainConfig
     from thermal3d.convert.torch_to_flax import convert_checkpoint

@@ -53,6 +53,15 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 # shardings — the scaling-book recipe, not hand-written collectives).
 # ---------------------------------------------------------------------------
 
+# Caveat (packed self-attn qkv): its kernel packs the output axis as
+# [3, heads, head_dim] flattened to 3C (checkpoint layout parity), so a
+# contiguous column shard crosses the q/k/v (and head) boundaries for most
+# 'model' sizes — e.g. model=2 puts all of q plus half of k on device 0.
+# GSPMD keeps this CORRECT, but the later [B,S,3,H,hd] reshape can force
+# resharding collectives beyond the one all-reduce per sublayer that true
+# head-group-aligned (Megatron) sharding would need. Treat the qkv entry as
+# a memory/layout hint, not a comm-optimal spec; the separate projq/k/v
+# projections (cross-attn) ARE head-aligned whenever model divides num_heads.
 _COL_SHARDED = ("qkv", "projq", "projk", "projv", "fc1")  # out-dim sharded
 _ROW_SHARDED = ("fc2",)  # in-dim sharded; attn out-proj handled by context
 

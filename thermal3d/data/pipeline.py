@@ -34,7 +34,13 @@ class BatchLoader:
 
     def __init__(self, dataset, indices: Optional[Sequence[int]] = None,
                  batch_size: int = 4, shuffle: bool = True, seed: int = 0,
-                 num_workers: int = 4, prefetch: int = 2, drop_last: bool = True):
+                 num_workers: int = 4, prefetch: int = 2, drop_last: bool = True,
+                 process_id: int = 0, process_count: int = 1):
+        """batch_size is the GLOBAL batch size. With process_count > 1
+        (multi-host DP — core/distributed.py), every process computes the
+        same global shuffle order and process p loads only rows
+        [p·B/P, (p+1)·B/P) of each global batch, so the union across
+        processes reproduces the single-process batch stream exactly."""
         self.dataset = dataset
         self.indices = np.asarray(indices if indices is not None else np.arange(len(dataset)))
         self.batch_size = batch_size
@@ -44,6 +50,15 @@ class BatchLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self._epoch = 0
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch size {batch_size} not divisible by "
+                f"process_count {process_count}")
+        if not 0 <= process_id < process_count:
+            raise ValueError(f"process_id {process_id} out of range "
+                             f"[0, {process_count})")
+        self.process_id = process_id
+        self.process_count = process_count
 
     def __len__(self):
         n = len(self.indices)
@@ -68,8 +83,11 @@ class BatchLoader:
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             pending: collections.deque = collections.deque()
 
+            bs_local = bs // self.process_count
+            lo = self.process_id * bs_local
+
             def submit(bi):
-                idxs = order[bi * bs : (bi + 1) * bs]
+                idxs = order[bi * bs + lo : bi * bs + lo + bs_local]
                 if get_batch is not None:
                     pending.append(pool.submit(get_batch, idxs))
                 else:
@@ -86,7 +104,7 @@ class BatchLoader:
                 if next_submit < n_batches:
                     submit(next_submit)
                     next_submit += 1
-                if not samples or (self.drop_last and len(samples) < bs):
+                if not samples or (self.drop_last and len(samples) < bs_local):
                     continue
                 keys = samples[0].keys()
                 yield {k: np.stack([s[k] for s in samples]) for k in keys}

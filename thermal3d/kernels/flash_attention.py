@@ -490,7 +490,17 @@ def _fused_fwd(qkv, cos, sin, num_heads, scale, group, interpret, batch_block):
 
 def _fused_bwd(num_heads, scale, group, interpret, batch_block, res, g_out):
     """Closed-form backward in plain jnp (f32): recompute roped q/k, standard
-    attention VJP, then the rope transpose (R^T = -R)."""
+    attention VJP, then the rope transpose (R^T = -R).
+
+    Memory note: this materializes full f32 [B,H,S,S] score/probability
+    intermediates (and _xattn_bwd additionally concatenates q/k/v into a
+    fresh [B,S,3C] buffer), which at MASt3R-512 training shapes (S=1024)
+    costs hundreds of MB of HBM per block — partially offsetting the forward
+    kernel's residual-memory savings when 'auto' routes training through the
+    fused path. If 512-training memory gets tight: compute the cross-attn
+    VJP directly on the separate q/k/v residuals (skip the concatenate) and
+    recompute scores in bf16 here.
+    """
     qkv, cos, sin = res
     b, s, three_c = qkv.shape
     c = three_c // 3

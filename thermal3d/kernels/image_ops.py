@@ -9,9 +9,16 @@ in the same kernel, so raw frames go to enhanced [0,1] in one pass without
 HBM round-trips and without the O(N log N) sort.
 
 Exactness: the caller (preprocess.enhance) min/max-normalizes each image
-first, so the 65536-step grid covers the actual data span; the result matches
-np.percentile up to one grid step (≤ 2^-16 of the span — tested < 2e-3 after
-rescale against the jnp/sort path, and far below bf16 quantization).
+first, so the 65536-step grid covers the actual data span. The search returns
+the smallest grid value whose cumulative count reaches the target rank — a
+single order statistic — while np.percentile linearly interpolates between
+the two neighboring order statistics. The results therefore agree to within
+one ORDER-STATISTIC GAP, not one grid step: on a pathological bimodal image
+whose percentile rank falls between two far-apart pixel values, the deviation
+can be the full gap between them. On real thermal frames the neighboring
+order statistics are dense and the parity test against the exact sort path
+bounds the post-rescale difference < 2e-3 (far below bf16 quantization);
+that test, not the grid resolution, is the practical accuracy bound.
 """
 
 from __future__ import annotations

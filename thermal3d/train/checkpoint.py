@@ -38,11 +38,20 @@ class CheckpointManager:
             os.path.join(self.directory, "last"),
             options=ocp.CheckpointManagerOptions(max_to_keep=1))
         # pre-best/last-layout dirs (checkpoints directly under <dir>) must
-        # still resume instead of silently restarting from scratch
+        # still resume instead of silently restarting from scratch. Detection
+        # is format-agnostic: let orbax itself scan the root (it understands
+        # padded/prefixed step-dir names like 'step_100' that a bare
+        # digits-only pattern match would miss) and keep the manager only if
+        # it actually finds a step.
         self._legacy = None
-        if any(s.isdigit() for s in os.listdir(self.directory)
-               if os.path.isdir(os.path.join(self.directory, s))):
-            self._legacy = ocp.CheckpointManager(self.directory)
+        try:
+            legacy = ocp.CheckpointManager(self.directory)
+            if legacy.latest_step() is not None:
+                self._legacy = legacy
+            else:
+                legacy.close()
+        except Exception:  # unreadable root layout — no legacy resume
+            pass
 
     def _managers(self):
         """Resume priority: last (exact) → best → legacy flat layout."""

@@ -14,7 +14,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from thermal3d.core.config import TrainConfig
-from thermal3d.core.mesh import make_mesh, shard_batch
+from thermal3d.core.mesh import make_mesh, shard_batch, shard_batch_multihost
 from thermal3d.data.pipeline import BatchLoader, split_index
 from thermal3d.train.checkpoint import CheckpointManager
 from thermal3d.train.logging import MetricLogger
@@ -48,11 +48,21 @@ def train_and_evaluate(
     if logger is None:
         logger = MetricLogger(use_wandb=False)
 
+    # Multi-host DP (core/distributed.py): every process runs this same loop;
+    # the loaders each feed the process-local slice of the global batch and
+    # shard_batch_multihost assembles the logically-global arrays over DCN.
+    import jax
+
+    pid, pcount = jax.process_index(), jax.process_count()
+    place_batch = shard_batch if pcount == 1 else shard_batch_multihost
+
     train_idx, val_idx = split_index(len(dataset), cfg.val_fraction, cfg.seed)
     train_loader = BatchLoader(dataset, train_idx, cfg.batch_size, shuffle=True,
-                               seed=cfg.seed)
+                               seed=cfg.seed, process_id=pid,
+                               process_count=pcount)
     val_loader = BatchLoader(dataset, val_idx, cfg.batch_size, shuffle=False,
-                             drop_last=False)
+                             drop_last=False, process_id=pid,
+                             process_count=pcount)
 
     steps_per_epoch = max(1, len(train_loader))
     state = create_train_state(model, params, cfg, steps_per_epoch)
@@ -115,7 +125,7 @@ def train_and_evaluate(
                 break
             if "pointmap1" not in batch:
                 continue
-            state, metrics = train_step(state, shard_batch(mesh, batch))
+            state, metrics = train_step(state, place_batch(mesh, batch))
             pending.append((global_step + 1,
                             {k: metrics[k] for k in scalar_keys if k in metrics}))
             global_step += 1
@@ -157,14 +167,33 @@ def train_and_evaluate(
             if "pointmap1" not in batch:
                 continue
             n_real = batch["thermal1"].shape[0]
-            if n_real < cfg.batch_size:
-                pad = cfg.batch_size - n_real
+            local_bs = cfg.batch_size // pcount
+            if n_real < local_bs:
+                pad = local_bs - n_real
                 batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                          for k, v in batch.items()}
-            per_sample = np.asarray(eval_step(state.params, shard_batch(mesh, batch)))
+            per_sample = eval_step(state.params, place_batch(mesh, batch))
+            if pcount == 1:
+                per_sample = np.asarray(per_sample)
+            else:
+                # data-sharded output: this process's addressable shards ARE
+                # its local samples (assembled in loader order)
+                shards = sorted(per_sample.addressable_shards,
+                                key=lambda s: s.index[0].start or 0)
+                per_sample = np.concatenate([np.asarray(s.data) for s in shards])
             val_sum += float(per_sample[:n_real].sum())
             val_n += n_real
         epochs_run = epoch + 1
+        if pcount > 1:
+            # global val loss: every process must see the SAME value so the
+            # early-stop / checkpoint decisions below stay in lockstep
+            # (orbax saves are collective in multi-process)
+            from jax.experimental import multihost_utils
+
+            parts = multihost_utils.process_allgather(
+                np.array([val_sum, float(val_n)]))
+            val_sum = float(parts[:, 0].sum())
+            val_n = int(parts[:, 1].sum())
         if not val_n:
             continue
         val_loss = val_sum / val_n
