@@ -92,11 +92,15 @@ def bench_train(batch: int, n_iters: int, remat: bool):
     }))
 
 
-def bench_pseudo_gt(batch: int, n_iters: int, attn: str):
+def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False):
     """Pseudo-GT generation throughput (scripts/pseudo_gt.py:507-611 is the
     reference's second production workload): frozen MASt3R-512 two-view
     forward + on-device intrinsics + Umeyama pose, one jitted step.
-    Serialized via a depth→input feedback chain; reports PAIRS/s/chip."""
+    Serialized via a depth→input feedback chain; reports PAIRS/s/chip.
+
+    --scan rolls the layer stacks into lax.scan (config.scan_layers): same
+    numerics, ~10× smaller HLO — the knob that lets this program compile
+    through the dev harness's slow relay (docs/PERF.md)."""
     import dataclasses as dc
 
     import jax
@@ -106,7 +110,7 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str):
     from thermal3d.pseudo_gt.generator import PseudoGTGenerator
 
     config = dc.replace(MASTR_512_CATMLPDPT, compute_dtype="bfloat16",
-                        attention_impl=attn)
+                        attention_impl=attn, scan_layers=scan)
     gen = PseudoGTGenerator(config, batch_size=batch)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), gen.params)
     h, w = config.img_size
@@ -137,6 +141,7 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str):
         "step_ms": round(1000 * dt / n_iters, 1),
         "pose00": round(final, 4),
         "attn": attn,
+        **({"scan": True} if scan else {}),
     }))
 
 
@@ -168,7 +173,7 @@ def main():
     if "--pseudo-gt" in sys.argv:
         batch = int(positional[0]) if positional else 4
         n_iters = int(positional[1]) if len(positional) > 1 else 10
-        bench_pseudo_gt(batch, n_iters, attn_flag)
+        bench_pseudo_gt(batch, n_iters, attn_flag, scan="--scan" in sys.argv)
         return
 
     from thermal3d.core.config import DUSTR_224_LINEAR

@@ -76,10 +76,17 @@ def run_one_step() -> float:
 
 def main():
     coordinator, pid, pcount = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    # this harness force-registers a TPU plugin that overrides the
+    # JAX_PLATFORMS env var — config-pin cpu before any backend init
+    # (same as tests/conftest.py)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from thermal3d.core.distributed import initialize_multihost
 
     got_pid, got_pcount = initialize_multihost(coordinator, pcount, pid)
-    assert (got_pid, got_pcount) == (pid, pcount)
+    assert (got_pid, got_pcount) == (pid, pcount), (
+        f"expected ({pid}, {pcount}), got ({got_pid}, {got_pcount})")
     loss = run_one_step()
     print(f"MULTIHOST_LOSS {loss:.10f}", flush=True)
 

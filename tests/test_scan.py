@@ -1,0 +1,93 @@
+"""scan_layers mode: identical numerics to the unrolled model.
+
+The scan mode exists to shrink compiled-HLO size (one block body instead of
+enc_depth+2·dec_depth unrolled copies) for the MASt3R-512 program; it must be
+a pure compile-time refactor with no numeric effect.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import TINY_KW
+
+
+def _models(head_type="linear"):
+    from thermal3d.core.config import DustrModelConfig, HeadConfig
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+    head = HeadConfig(head_type=head_type)
+    base = DustrModelConfig(**TINY_KW, head=head)
+    scan = dataclasses.replace(base, scan_layers=True)
+    return AsymmetricCroCo3DStereo(base), AsymmetricCroCo3DStereo(scan), base
+
+
+@pytest.mark.parametrize("head_type", ["linear", "catmlpdpt"])
+def test_scan_forward_matches_unrolled(head_type, rng):
+    from thermal3d.models.scan_params import from_scan_params, to_scan_params
+
+    unrolled, scanned, cfg = _models(head_type)
+    img1 = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    params = unrolled.init(jax.random.key(0), img1, img2)["params"]
+    sparams = to_scan_params(params, cfg)
+
+    p1, p2 = unrolled.apply({"params": params}, img1, img2)
+    s1, s2 = scanned.apply({"params": sparams}, img1, img2)
+    for a, b in ((p1, s1), (p2, s2)):
+        assert set(a) == set(b)
+        for k in a:
+            # f32 reduction-order drift through 2+2·2 blocks, amplified by the
+            # expm1 head activation — measured max |Δ| ≈ 3e-5 at tiny dims
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=1e-4, atol=2e-4, err_msg=k)
+
+    # round-trip back to the checkpoint-native layout is exact
+    back = from_scan_params(sparams, cfg)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        params, back)
+
+
+def test_scan_init_shapes_match_stacked_layout(rng):
+    """scan model's own init produces the stacked layout to_scan_params emits
+    (so either init or conversion can seed it)."""
+    from thermal3d.models.scan_params import to_scan_params
+
+    unrolled, scanned, cfg = _models()
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    params = unrolled.init(jax.random.key(0), img, img)["params"]
+    native = scanned.init(jax.random.key(0), img, img)["params"]
+    converted = to_scan_params(params, cfg)
+    shapes = lambda t: jax.tree_util.tree_map(lambda x: tuple(x.shape), t)
+    assert shapes(native) == shapes(converted)
+
+
+def test_scan_gradients_match_unrolled(rng):
+    from thermal3d.models.scan_params import from_scan_params, to_scan_params
+
+    unrolled, scanned, cfg = _models()
+    img1 = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    params = unrolled.init(jax.random.key(0), img1, img2)["params"]
+    sparams = to_scan_params(params, cfg)
+
+    def loss_u(p):
+        p1, p2 = unrolled.apply({"params": p}, img1, img2)
+        return jnp.mean(p1["pts3d"] ** 2) + jnp.mean(p2["pts3d_in_other_view"])
+
+    def loss_s(p):
+        p1, p2 = scanned.apply({"params": p}, img1, img2)
+        return jnp.mean(p1["pts3d"] ** 2) + jnp.mean(p2["pts3d_in_other_view"])
+
+    gu = jax.grad(loss_u)(params)
+    gs = from_scan_params(jax.grad(loss_s)(sparams), cfg)
+    flat_u = jax.tree_util.tree_leaves_with_path(gu)
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(gs))
+    for path, leaf in flat_u:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_s[path]),
+                                   rtol=5e-5, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(path))

@@ -78,6 +78,15 @@ class DustrModelConfig:
     # rematerialize transformer blocks in the backward pass (trade FLOPs for
     # HBM — lets bigger per-chip batches train at ViT-L scale)
     remat: bool = False
+    # roll the encoder / dual-decoder layer stacks into lax.scan over stacked
+    # per-layer params: the compiled HLO contains ONE block body instead of
+    # 24+12+12 unrolled copies, cutting XLA compile time by ~an order of
+    # magnitude (the lever that makes the MASt3R-512 program compile through
+    # this harness's slow relay). Numerics identical (tests/test_scan.py);
+    # param trees convert with models.scan_params.{to,from}_scan_params.
+    # Not combined with tensor parallelism (stacked kernels are rank-3; the
+    # 'model'-axis partition specs in core/mesh.py only cover rank-2).
+    scan_layers: bool = False
 
     @property
     def patch_grid(self) -> Tuple[int, int]:

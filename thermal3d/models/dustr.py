@@ -39,6 +39,48 @@ from thermal3d.models.layers import (DecoderBlock, EncoderBlock, PatchEmbed,
 from thermal3d.models.rope import make_grid_positions
 
 
+class _EncScanBody(nn.Module):
+    """lax.scan body for one encoder block (params stacked on axis 0)."""
+
+    num_heads: int
+    mlp_ratio: float
+    rope_base: float
+    dtype: jnp.dtype
+    attention_impl: str
+    remat: bool
+
+    @nn.compact
+    def __call__(self, x, pos):
+        cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
+        x = cls(self.num_heads, self.mlp_ratio, self.rope_base, self.dtype,
+                self.attention_impl, name="blk")(x, pos)
+        return x, ()
+
+
+class _DecScanBody(nn.Module):
+    """lax.scan body for one dual-decoder layer pair: blk1 attends view1 to
+    view2's PREVIOUS tokens and blk2 vice versa (croco interleaving —
+    dustr.decode's unrolled loop). Emits both views' tokens as scan outputs
+    so the DPT heads can hook intermediate layers."""
+
+    num_heads: int
+    mlp_ratio: float
+    rope_base: float
+    dtype: jnp.dtype
+    attention_impl: str
+    remat: bool
+
+    @nn.compact
+    def __call__(self, carry, pos):
+        x1, x2 = carry
+        cls = nn.remat(DecoderBlock) if self.remat else DecoderBlock
+        nx1 = cls(self.num_heads, self.mlp_ratio, self.rope_base, self.dtype,
+                  self.attention_impl, name="blk1")(x1, x2, pos, None)
+        nx2 = cls(self.num_heads, self.mlp_ratio, self.rope_base, self.dtype,
+                  self.attention_impl, name="blk2")(x2, x1, pos, None)
+        return (nx1, nx2), (nx1, nx2)
+
+
 class AsymmetricCroCo3DStereo(nn.Module):
     config: DustrModelConfig
 
@@ -48,29 +90,41 @@ class AsymmetricCroCo3DStereo(nn.Module):
         enc_cls = nn.remat(EncoderBlock) if cfg.remat else EncoderBlock
         dec_cls = nn.remat(DecoderBlock) if cfg.remat else DecoderBlock
         self.patch_embed = PatchEmbed(cfg.patch_size, cfg.enc_embed_dim, dt, name="patch_embed")
-        self.enc_blocks = [
-            enc_cls(
-                cfg.enc_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
-                name=f"enc_blocks_{i}",
-            )
-            for i in range(cfg.enc_depth)
-        ]
+        if cfg.scan_layers:
+            scan_kw = dict(variable_axes={"params": 0, "quant": 0},
+                           split_rngs={"params": True}, in_axes=nn.broadcast)
+            EncScan = nn.scan(_EncScanBody, length=cfg.enc_depth, **scan_kw)
+            DecScan = nn.scan(_DecScanBody, length=cfg.dec_depth, **scan_kw)
+            self.enc_scan = EncScan(
+                cfg.enc_num_heads, cfg.mlp_ratio, cfg.rope_base, dt,
+                cfg.attention_impl, cfg.remat, name="enc_scan")
+            self.dec_scan = DecScan(
+                cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt,
+                cfg.attention_impl, cfg.remat, name="dec_scan")
+        else:
+            self.enc_blocks = [
+                enc_cls(
+                    cfg.enc_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
+                    name=f"enc_blocks_{i}",
+                )
+                for i in range(cfg.enc_depth)
+            ]
+            self.dec_blocks = [
+                dec_cls(
+                    cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
+                    name=f"dec_blocks_{i}",
+                )
+                for i in range(cfg.dec_depth)
+            ]
+            self.dec_blocks2 = [
+                dec_cls(
+                    cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
+                    name=f"dec_blocks2_{i}",
+                )
+                for i in range(cfg.dec_depth)
+            ]
         self.enc_norm = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="enc_norm")
         self.decoder_embed = QuantDense(cfg.dec_embed_dim, dtype=dt, name="decoder_embed")
-        self.dec_blocks = [
-            dec_cls(
-                cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
-                name=f"dec_blocks_{i}",
-            )
-            for i in range(cfg.dec_depth)
-        ]
-        self.dec_blocks2 = [
-            dec_cls(
-                cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
-                name=f"dec_blocks2_{i}",
-            )
-            for i in range(cfg.dec_depth)
-        ]
         self.dec_norm = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="dec_norm")
 
         head_type = cfg.head.head_type
@@ -90,8 +144,11 @@ class AsymmetricCroCo3DStereo(nn.Module):
         """Encode one (possibly stacked) image batch. img: [B, H, W, 3]."""
         x, grid = self.patch_embed(img.astype(self.config.dtype))
         pos = make_grid_positions(*grid)
-        for blk in self.enc_blocks:
-            x = blk(x, pos)
+        if self.config.scan_layers:
+            x, _ = self.enc_scan(x, pos)
+        else:
+            for blk in self.enc_blocks:
+                x = blk(x, pos)
         x = self.enc_norm(x)
         return x, pos, grid
 
@@ -103,13 +160,20 @@ class AsymmetricCroCo3DStereo(nn.Module):
         outs2 = [f2]
         x1 = self.decoder_embed(f1)
         x2 = self.decoder_embed(f2)
-        for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
-            # ypos=None: shared patch grid (remat-safe fused-dispatch signal)
-            nx1 = blk1(x1, x2, pos, None)
-            nx2 = blk2(x2, x1, pos, None)
-            x1, x2 = nx1, nx2
-            outs1.append(x1)
-            outs2.append(x2)
+        if self.config.scan_layers:
+            _, (ys1, ys2) = self.dec_scan((x1, x2), pos)
+            # ys: [L, B, S, C] stacked per-layer outputs → same hook list the
+            # unrolled loop builds (DPT heads index into it)
+            outs1 += [ys1[i] for i in range(self.config.dec_depth)]
+            outs2 += [ys2[i] for i in range(self.config.dec_depth)]
+        else:
+            for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
+                # ypos=None: shared patch grid (remat-safe fused-dispatch signal)
+                nx1 = blk1(x1, x2, pos, None)
+                nx2 = blk2(x2, x1, pos, None)
+                x1, x2 = nx1, nx2
+                outs1.append(x1)
+                outs2.append(x2)
         outs1[-1] = self.dec_norm(outs1[-1])
         outs2[-1] = self.dec_norm(outs2[-1])
         return outs1, outs2
