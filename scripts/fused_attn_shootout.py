@@ -34,6 +34,13 @@ SHAPES = [  # (label, B, grid_h, grid_w, H, D)
     ("dec512", 8, 32, 32, 12, 64),
 ]
 GROUPS = [1, 2, 4, 8]
+# enc224-mono is the serving encoder shape (monocular single-encode, B=32);
+# pass --s196 to sweep only the 224 shapes (the round-3 optimization target)
+S196_SHAPES = [
+    ("enc224-mono", 32, 14, 14, 16, 64),
+    ("enc224 (2 views)", 64, 14, 14, 16, 64),
+    ("dec224", 32, 14, 14, 12, 64),
+]
 
 
 def bench(f, args, iters):
@@ -48,10 +55,13 @@ def bench(f, args, iters):
 
 def main():
     enable_compilation_cache()
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    s196 = "--s196" in sys.argv
+    rope16 = "--rope16" in sys.argv  # add bf16-in-kernel-RoPE variants
+    pos_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    iters = int(pos_args[0]) if pos_args else 100
     print("backend:", jax.default_backend())
     rng = np.random.default_rng(0)
-    for label, b, gh, gw, h, d in SHAPES:
+    for label, b, gh, gw, h, d in (S196_SHAPES if s196 else SHAPES):
         s, c = gh * gw, h * d
         pos = make_grid_positions(gh, gw)
         scale = 1.0 / math.sqrt(d)
@@ -73,17 +83,26 @@ def main():
             for bb in (1, 2, 4, 8):
                 if b % bb:
                     continue
-                f = jax.jit(lambda qkv, g=g, bb=bb: fused_rope_attention(
-                    qkv, *rope_tables(pos, d), h, scale, g, False, bb))
-                tag = f"fused_g{g}b{bb}"
-                try:
-                    dt, out = bench(f, (qkv,), iters)
-                    err = float(np.abs(out - ref).max())
-                    print(f"{label:18s} self  {tag:14s} "
-                          f"{dt*1e6:9.1f} us  maxerr={err:.3e}")
-                except Exception as e:
-                    print(f"{label:18s} self  {tag} FAILED: "
-                          f"{type(e).__name__}: {str(e)[:100]}")
+                variants = [(f"fused_g{g}b{bb}", True)]
+                if rope16:
+                    variants.append((f"fused_g{g}b{bb}r16", False))
+                for tag, rf32 in variants:
+                    from thermal3d.kernels.flash_attention import \
+                        _fused_rope_attention_fwd
+
+                    f = jax.jit(lambda qkv, g=g, bb=bb, rf32=rf32:
+                                _fused_rope_attention_fwd(
+                                    qkv, *rope_tables(pos, d), num_heads=h,
+                                    scale=scale, group=g, interpret=False,
+                                    batch_block=bb, rope_f32=rf32))
+                    try:
+                        dt, out = bench(f, (qkv,), iters)
+                        err = float(np.abs(out - ref).max())
+                        print(f"{label:18s} self  {tag:14s} "
+                              f"{dt*1e6:9.1f} us  maxerr={err:.3e}")
+                    except Exception as e:
+                        print(f"{label:18s} self  {tag} FAILED: "
+                              f"{type(e).__name__}: {str(e)[:100]}")
 
         # cross-attention: separate q/k/v projections, shared grid
         qp, kp, vp = (jnp.asarray(rng.standard_normal((b, s, c)), jnp.bfloat16)
@@ -103,19 +122,27 @@ def main():
             for bb in (1, 2, 4):
                 if b % bb:
                     continue
-                f = jax.jit(lambda qp, kp, vp, g=g, bb=bb:
-                            fused_rope_cross_attention(
-                                qp, kp, vp, *rope_tables(pos, d), h, scale,
-                                g, False, bb))
-                tag = f"fused_g{g}b{bb}"
-                try:
-                    dt, out = bench(f, (qp, kp, vp), iters)
-                    err = float(np.abs(out - ref).max())
-                    print(f"{label:18s} cross {tag:14s} "
-                          f"{dt*1e6:9.1f} us  maxerr={err:.3e}")
-                except Exception as e:
-                    print(f"{label:18s} cross {tag} FAILED: "
-                          f"{type(e).__name__}: {str(e)[:100]}")
+                variants = [(f"fused_g{g}b{bb}", True)]
+                if rope16:
+                    variants.append((f"fused_g{g}b{bb}r16", False))
+                for tag, rf32 in variants:
+                    from thermal3d.kernels.flash_attention import \
+                        _fused_rope_xattn_fwd
+
+                    f = jax.jit(lambda qp, kp, vp, g=g, bb=bb, rf32=rf32:
+                                _fused_rope_xattn_fwd(
+                                    qp, kp, vp, *rope_tables(pos, d),
+                                    num_heads=h, scale=scale, group=g,
+                                    interpret=False, batch_block=bb,
+                                    rope_f32=rf32))
+                    try:
+                        dt, out = bench(f, (qp, kp, vp), iters)
+                        err = float(np.abs(out - ref).max())
+                        print(f"{label:18s} cross {tag:14s} "
+                              f"{dt*1e6:9.1f} us  maxerr={err:.3e}")
+                    except Exception as e:
+                        print(f"{label:18s} cross {tag} FAILED: "
+                              f"{type(e).__name__}: {str(e)[:100]}")
 
 
 if __name__ == "__main__":

@@ -30,6 +30,66 @@ def test_int8_dense_matches_float(rng):
     assert rel < 0.01, rel
 
 
+def test_int8_dense_grouped_beats_whole_column(rng):
+    """Grouped (per-K-segment) scales are strictly more accurate than
+    whole-column scales, and the grouped matmul itself is correct."""
+    x = jnp.asarray(rng.standard_normal((4, 64, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+    # make the scale problem non-trivial: one large-magnitude K segment
+    w = w.at[:64].mul(8.0)
+    want = np.asarray(x @ w)
+
+    wq, ws = quantize_kernel(w)
+    rel_flat = np.linalg.norm(np.asarray(int8_dense(x, wq, ws, jnp.float32))
+                              - want) / np.linalg.norm(want)
+    wqg, wsg = quantize_kernel(w, group_size=64)
+    assert wsg.shape == (4, 128)
+    rel_grp = np.linalg.norm(np.asarray(int8_dense(x, wqg, wsg, jnp.float32))
+                             - want) / np.linalg.norm(want)
+    assert rel_grp < rel_flat * 0.7, (rel_grp, rel_flat)
+    assert rel_grp < 0.01, rel_grp  # measured 0.0083 vs 0.0136 whole-column
+
+
+def test_quantize_skip_keeps_layers_float(rng, tiny_config):
+    from flax import traverse_util
+
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    h, w = tiny_config.img_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.key(0), dummy, dummy)["params"]
+    pq, quant = quantize_params_int8(
+        params, skip=("enc_blocks_0", "decoder_embed"))
+    flat = traverse_util.flatten_dict(pq)
+    for path, leaf in flat.items():
+        if path[0] in ("enc_blocks_0", "decoder_embed"):
+            assert leaf.dtype != jnp.int8, path
+    assert "enc_blocks_0" not in quant and "decoder_embed" not in quant
+    assert any(leaf.dtype == jnp.int8 for leaf in flat.values())
+
+
+def test_engine_int8_grouped_drift_smaller_than_flat(rng, tiny_config):
+    """End-to-end: group_size=mlp-width/2 segments reduce depth drift vs
+    whole-column scales on the same params."""
+    from thermal3d.infer.engine import InferenceEngine
+
+    h, w = tiny_config.img_size
+    raw = rng.uniform(21000, 26000, (2, h, w)).astype(np.float32)
+    eng_f = InferenceEngine(tiny_config, use_thermal_head=False, rng_seed=3)
+    depth_f = eng_f.infer(raw)["depth"]
+
+    def drift(**kw):
+        eng = InferenceEngine(tiny_config, params=eng_f.params,
+                              use_thermal_head=False, quantize_int8=True, **kw)
+        dq = eng.infer(raw)["depth"]
+        return np.linalg.norm(dq - depth_f) / np.linalg.norm(depth_f)
+
+    d_flat = drift()
+    d_grp = drift(int8_group_size=16)  # 16 divides every tiny-config K
+    assert d_grp < d_flat, (d_grp, d_flat)
+
+
 def test_quantize_params_targets_trunk_only(rng, tiny_config):
     """Trunk Dense kernels become int8 with mirrored scales; patch embed,
     norms, and heads stay float; structure is otherwise unchanged."""

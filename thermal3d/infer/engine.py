@@ -40,6 +40,8 @@ class InferenceEngine:
         rng_seed: int = 0,
         params_dtype: Optional[str] = None,
         quantize_int8: bool = False,
+        int8_group_size: Optional[int] = None,
+        int8_skip: tuple = (),
     ):
         self.config = config
         self.model = AsymmetricCroCo3DStereo(config)
@@ -61,7 +63,11 @@ class InferenceEngine:
             # BASELINE 1%-AbsRel criterion before this may serve.
             from thermal3d.kernels.quant import quantize_params_int8
 
-            params, self.quant = quantize_params_int8(params)
+            # int8_group_size=128 trades a few % speed for several× lower
+            # drift (grouped scales); int8_skip holds named layers in float
+            # (scripts/int8_sensitivity.py ranks them) — PARITY.md frontier.
+            params, self.quant = quantize_params_int8(
+                params, group_size=int8_group_size, skip=int8_skip)
         self.params = params
         self.use_thermal_head = use_thermal_head
         self._thermal_head = ThermalPreprocessHead()

@@ -48,6 +48,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _seq_pad(s: int) -> int:
+    """Sequence padding for the fused kernels' SUBLANE dimension: align to
+    the bf16 sublane tile (16) instead of a full lane tile (128). At S=196
+    this is 208 rows instead of 256 — ~19% less M-dim matmul work and ~19%
+    fewer score-exp register tiles, at identical numerics (the lane dim of
+    the in-VMEM score matrix rounds to 128-multiples either way, and Pallas
+    masks the block-edge overrun). S=1024 is unchanged (already aligned)."""
+    return _round_up(s, 16)
+
+
 # Below this sequence length XLA's one-big-einsum attention wins (S=196:
 # fused kernel 1.3-2.4x slower — grid overhead + 196→256 pad waste dominate);
 # at and above it the fused RoPE+attention kernel wins 1.2-2.7x (S=1024
@@ -297,7 +307,7 @@ def _rot_lanes(t, d: int):
 
 def _fused_rope_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
                        valid_len: int, scale: float, group: int, head_dim: int,
-                       batch_block: int = 1):
+                       batch_block: int = 1, rope_f32: bool = True):
     """Self-attention over `group` heads × `batch_block` batch items with
     RoPE applied in VMEM.
 
@@ -308,12 +318,21 @@ def _fused_rope_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
     overhead — the dominant cost at S=196 where the matmuls are tiny."""
     cos = cos_ref[...]  # [S_pad, D] f32
     sin = sin_ref[...]
+    if not rope_f32:
+        # apply RoPE in the stored dtype (bf16 in production): the extra
+        # rounding lands on values that feed a bf16 MXU matmul anyway —
+        # opt-in, shootout-measured (scripts/fused_attn_shootout.py)
+        cos = cos.astype(q_ref.dtype)
+        sin = sin.astype(q_ref.dtype)
     for b in range(batch_block):
         for i in range(group):
             sl = slice(i * head_dim, (i + 1) * head_dim)
-            q = q_ref[b][:, sl].astype(jnp.float32)
-            k = k_ref[b][:, sl].astype(jnp.float32)
+            q = q_ref[b][:, sl]
+            k = k_ref[b][:, sl]
             v = v_ref[b][:, sl]
+            if rope_f32:
+                q = q.astype(jnp.float32)
+                k = k.astype(jnp.float32)
             q = q * cos + _rot_lanes(q, head_dim) * sin
             k = k * cos + _rot_lanes(k, head_dim) * sin
             scores = jax.lax.dot_general(
@@ -336,7 +355,7 @@ def _fused_rope_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *,
 
 def _fused_rope_attention_fwd(qkv, cos, sin, *, num_heads: int, scale: float,
                               group: int, interpret: bool,
-                              batch_block: int = 1):
+                              batch_block: int = 1, rope_f32: bool = True):
     """qkv: [B, S, 3C] (packed projection output) → [B, S, C] attention out."""
     b, s, three_c = qkv.shape
     c = three_c // 3
@@ -347,10 +366,11 @@ def _fused_rope_attention_fwd(qkv, cos, sin, *, num_heads: int, scale: float,
     bb = min(batch_block, b)
     while b % bb:
         bb -= 1
-    s_pad = _round_up(s, 128)
+    s_pad = _seq_pad(s)
     hb = num_heads // g  # lane-blocks per q/k/v region
     kernel = functools.partial(_fused_rope_kernel, valid_len=s, scale=scale,
-                               group=g, head_dim=d, batch_block=bb)
+                               group=g, head_dim=d, batch_block=bb,
+                               rope_f32=rope_f32)
     mem_space = pltpu.VMEM if _HAS_PLTPU else None
 
     def bspec(shape, index):
@@ -388,7 +408,8 @@ def _fused_rope_attention_fwd(qkv, cos, sin, *, num_heads: int, scale: float,
 
 
 def _fused_rope_xattn_fwd(q, k, v, cos, sin, *, num_heads: int, scale: float,
-                          group: int, interpret: bool, batch_block: int = 1):
+                          group: int, interpret: bool, batch_block: int = 1,
+                          rope_f32: bool = True):
     """Cross-attention variant: q/k/v are SEPARATE [B, S, C] projection
     outputs (croco projq/projk/projv); same in-VMEM RoPE + attention kernel,
     region offsets all zero. Requires Sq == Sk (true for DUSt3R's dual
@@ -402,10 +423,11 @@ def _fused_rope_xattn_fwd(q, k, v, cos, sin, *, num_heads: int, scale: float,
     bb = min(batch_block, b)
     while b % bb:
         bb -= 1
-    s_pad = _round_up(s, 128)
+    s_pad = _seq_pad(s)
     hb = num_heads // g
     kernel = functools.partial(_fused_rope_kernel, valid_len=s, scale=scale,
-                               group=g, head_dim=d, batch_block=bb)
+                               group=g, head_dim=d, batch_block=bb,
+                               rope_f32=rope_f32)
     mem_space = pltpu.VMEM if _HAS_PLTPU else None
 
     def bspec(shape, index):

@@ -7,13 +7,22 @@ docs/PERF.md). This module provides:
 
   * `int8_dense` — the quantized matmul: dynamic per-token (row) activation
     scales, static per-output-channel (column) weight scales, int32
-    accumulation, f32 dequant;
+    accumulation, f32 dequant. With GROUPED scales (quantize_kernel
+    group_size=G) the contraction axis is split into K/G segments, each with
+    its own weight-column and activation-token scales: the matmul becomes a
+    batched [.., G, K/G] × [G, K/G, N] int8 contraction (K/G=128 matches the
+    MXU tile) dequantized and summed per segment — finer scale resolution
+    cuts quantization drift several-fold (PARITY.md int8 section) at the cost
+    of G f32 partial-sum combines;
   * `quantize_params_int8` — a one-shot serving-time transform of a model
     param tree: 2-D Dense kernels inside the transformer trunk
     (enc_blocks*/dec_blocks*/decoder_embed) become int8 plus a parallel
-    'quant' variable collection holding the column scales. Heads, patch
+    'quant' variable collection holding the scales. Heads, patch
     embed, norms, and biases stay in float (they carry the f32-parity
-    surface; the reference computes heads outside autocast too).
+    surface; the reference computes heads outside autocast too). `skip`
+    holds float any extra top-level modules (sensitivity-driven —
+    scripts/int8_sensitivity.py finds the layers whose quantization hurts
+    most so they can be excluded from serving configs).
 
 The transform is OPT-IN (InferenceEngine(quantize_int8=True) / bench --int8)
 and accuracy-gated by tests (tiny-model depth drift bound) plus the parity
@@ -25,7 +34,7 @@ serving optimization for its inference path (thermal_dustr_inference.py:63).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Collection, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,11 +44,15 @@ from flax import traverse_util
 
 def int8_dense(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
                out_dtype) -> jnp.ndarray:
-    """x: [..., K] float; wq: [K, N] int8; ws: [N] f32 per-column scales.
+    """x: [..., K] float; wq: [K, N] int8; ws: per-column scales — [N] f32
+    (whole-column) or [G, N] f32 (grouped: column scales per K/G-row segment).
 
-    Dynamic symmetric per-token activation quantization (absmax/127), int8
-    MXU matmul with int32 accumulation, dequant by (token_scale ⊗ ws).
+    Dynamic symmetric activation quantization (absmax/127; per token, or per
+    token-and-segment when grouped), int8 MXU matmul with int32 accumulation,
+    f32 dequant.
     """
+    if ws.ndim == 2:
+        return _int8_dense_grouped(x, wq, ws, out_dtype)
     xf = x.astype(jnp.float32)
     ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     xs = jnp.maximum(ax, 1e-8) / 127.0
@@ -50,32 +63,80 @@ def int8_dense(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
     return (acc.astype(jnp.float32) * (xs * ws)).astype(out_dtype)
 
 
-def quantize_kernel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[K, N] float kernel → (int8 kernel, [N] f32 per-column scales)."""
+def _int8_dense_grouped(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
+                        out_dtype) -> jnp.ndarray:
+    """Grouped variant: ws [G, N]; both weights and activations get per-
+    segment scales along the contraction axis."""
+    g, n = ws.shape
+    k = x.shape[-1]
+    gk = k // g
+    lead = x.shape[:-1]
+    xf = x.astype(jnp.float32).reshape(*lead, g, gk)
+    ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)  # [..., G, 1]
+    xs = jnp.maximum(ax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    wg = wq.reshape(g, gk, n)
+    # [..., G, gk] × [G, gk, N] → [G, ..., N], contraction over gk with G as
+    # a batch dim; int32 accumulation on the MXU (gk=128 matches its tile)
+    acc = jax.lax.dot_general(
+        xq, wg,
+        (((xq.ndim - 1,), (1,)), ((xq.ndim - 2,), (0,))),
+        preferred_element_type=jnp.int32)  # [G, ..., N]
+    scale = jnp.moveaxis(xs, -2, 0) * ws.reshape(g, *([1] * len(lead)), n)
+    return jnp.sum(acc.astype(jnp.float32) * scale, axis=0).astype(out_dtype)
+
+
+def quantize_kernel(w: jnp.ndarray, group_size: Optional[int] = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[K, N] float kernel → (int8 kernel, f32 scales).
+
+    group_size=None: scales [N] (absmax per column).
+    group_size=G rows: scales [K/G, N] (absmax per column per K-segment)."""
     wf = jnp.asarray(w, jnp.float32)
-    ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0
-    wq = jnp.clip(jnp.round(wf / ws), -127, 127).astype(jnp.int8)
-    return wq, ws
+    if group_size is None:
+        ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0
+        wq = jnp.clip(jnp.round(wf / ws), -127, 127).astype(jnp.int8)
+        return wq, ws
+    k, n = wf.shape
+    if k % group_size:
+        raise ValueError(f"K={k} not divisible by group_size={group_size}")
+    g = k // group_size
+    wg = wf.reshape(g, group_size, n)
+    ws = jnp.maximum(jnp.max(jnp.abs(wg), axis=1), 1e-8) / 127.0  # [G, N]
+    wq = jnp.clip(jnp.round(wg / ws[:, None, :]), -127, 127)
+    return wq.reshape(k, n).astype(jnp.int8), ws
 
 
-def _targeted(path: Tuple[str, ...]) -> bool:
+def _targeted(path: Tuple[str, ...], skip: Collection[str]) -> bool:
     top = path[0]
+    if top in skip:
+        return False
     return top.startswith(("enc_blocks", "dec_blocks")) or top == "decoder_embed"
 
 
-def quantize_params_int8(params: Dict) -> Tuple[Dict, Dict]:
+def quantize_params_int8(params: Dict, group_size: Optional[int] = None,
+                         skip: Collection[str] = ()) -> Tuple[Dict, Dict]:
     """Returns (params_q, quant_collection).
 
     params_q mirrors `params` with targeted 2-D 'kernel' leaves replaced by
     int8; quant_collection mirrors the module scopes with 'kernel_scale'
     leaves, to be passed as apply({'params': params_q, 'quant': quant}).
+
+    group_size: rows per weight-scale segment (None = whole-column scales;
+    128 matches the MXU tile and cuts drift — PARITY.md).
+    skip: top-level module names (e.g. 'enc_blocks_0', 'decoder_embed') to
+    leave in float.
     """
     flat = traverse_util.flatten_dict(params)
     qflat, quant = {}, {}
     for path, leaf in flat.items():
         if (path[-1] == "kernel" and getattr(leaf, "ndim", 0) == 2
-                and _targeted(path)):
-            wq, ws = quantize_kernel(leaf)
+                and _targeted(path, skip)):
+            # whole-column fallback for kernels whose K the group doesn't
+            # divide (production Ks 768/1024/3072/4096 all divide 128)
+            gs = group_size if group_size and leaf.shape[0] % group_size == 0 \
+                else None
+            wq, ws = quantize_kernel(leaf, gs)
             qflat[path] = wq
             quant[path[:-1] + ("kernel_scale",)] = ws
         else:
