@@ -188,6 +188,40 @@ def test_viz_panels_smoke(tmp_path, rng):
     assert all((tmp_path / f).exists() for f in ["vd.png", "vr.png", "ir.png", "pc.png"])
 
 
+def test_viz_full_pair_panels(tmp_path, rng):
+    """Reference-faithful pair panels (visualize.py:463-541, 725-818):
+    combined 3-D cloud + camera frames, per-view clouds, and the
+    8-directory-layout driver."""
+    from thermal3d.viz.panels import (visualize_pair_from_dir,
+                                      visualize_pair_full,
+                                      visualize_pair_merged_full)
+
+    rgb = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    pm = rng.uniform(0.5, 5, (16, 16, 3)).astype(np.float32)
+    d = pm[..., 2]
+    pose = np.eye(4)
+    pose[:3, 3] = [0.1, 0.0, 0.05]
+    visualize_pair_full(rgb, d, pm, rgb, d, pm, pose=pose,
+                        intrinsics=np.eye(3), camera_size=0.5,
+                        save_path=str(tmp_path / "pf.png"))
+    visualize_pair_merged_full(rgb, d, pm, rgb, d, pm,
+                               save_path=str(tmp_path / "pmf.png"))
+
+    pair = "a_b"
+    for sub in ("pointmap1", "pointmap2", "intrinsics", "poses"):
+        (tmp_path / "gt" / sub).mkdir(parents=True)
+    np.save(tmp_path / "gt" / "pointmap1" / f"base_{pair}.npy", pm)
+    np.save(tmp_path / "gt" / "pointmap2" / f"{pair}.npy", pm)
+    np.save(tmp_path / "gt" / "intrinsics" / f"{pair}.npy", np.eye(3))
+    np.save(tmp_path / "gt" / "poses" / f"{pair}.npy", pose)
+    visualize_pair_from_dir(str(tmp_path / "gt"), pair,
+                            save_path=str(tmp_path / "pd.png"))
+    visualize_pair_from_dir(str(tmp_path / "gt"), pair, merged=True,
+                            save_path=str(tmp_path / "pdm.png"))
+    assert all((tmp_path / f).exists()
+               for f in ["pf.png", "pmf.png", "pd.png", "pdm.png"])
+
+
 def test_viz_sampler_and_pairs(tmp_path, rng):
     from thermal3d.viz.sampler import sample_dataset, visualize_pair, visualize_pair_merged
 

@@ -173,9 +173,50 @@ def overlay_rgb_thermal(rgb: np.ndarray, thermal: np.ndarray, alpha: float = 0.5
     return (1 - alpha) * rgb + alpha * heat
 
 
+def plot_cameras(ax, pose1=None, pose2=None, size: float = 0.1):
+    """Camera coordinate frames in an Axes3D (visualize.py:420-460): camera 1
+    at the origin (identity reference frame), camera 2 at the relative pose,
+    RGB-colored xyz quivers per camera and a dashed line linking the two."""
+    origin = np.zeros(3)
+    for vec, c in zip(np.eye(3) * size, "rgb"):
+        ax.quiver(*origin, *vec, color=c)
+    if pose2 is not None:
+        pose2 = np.asarray(pose2)
+        rot, t = pose2[:3, :3], pose2[:3, 3]
+        for k, c in zip(range(3), "rgb"):
+            vec = rot @ (np.eye(3)[k] * size)
+            ax.quiver(*t, *vec, color=c)
+        ax.plot([origin[0], t[0]], [origin[1], t[1]], [origin[2], t[2]], "k--")
+
+
+def _scatter_pointmap(ax, pointmap, color_mode: str = "depth",
+                      point_size: float = 1.0, color=None,
+                      subsample: int = 1):
+    """Valid-masked 3-D scatter of an [H,W,3] pointmap (visualize.py:396-418):
+    depth-colored through viridis by default, or a fixed color."""
+    pts = np.asarray(pointmap)[::subsample, ::subsample].reshape(-1, 3)
+    valid = np.isfinite(pts).all(axis=1) & (pts[:, 2] > 0)
+    pts = pts[valid]
+    if color is not None:
+        colors = color
+    elif color_mode == "depth" and len(pts):
+        depths = pts[:, 2]
+        cmin, cmax = depths.min(), depths.max()
+        denom = (cmax - cmin) if cmax > cmin else 1.0
+        colors = plt.get_cmap("viridis")((depths - cmin) / denom)
+    else:
+        colors = "blue"
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=point_size, c=colors,
+               marker=".")
+    ax.set_xlabel("X")
+    ax.set_ylabel("Y")
+    ax.set_zlabel("Z")
+    return pts
+
+
 def plot_point_cloud(pointmap, color_img=None, pose=None, subsample: int = 4,
                      save_path: Optional[str] = None):
-    """3-D scatter of a pointmap with optional camera frustum
+    """3-D scatter of a pointmap with full camera frames when a pose is given
     (visualize.py:396-461)."""
     pts = np.asarray(pointmap)[::subsample, ::subsample].reshape(-1, 3)
     valid = np.isfinite(pts).all(axis=1) & (pts[:, 2] > 0)
@@ -192,14 +233,8 @@ def plot_point_cloud(pointmap, color_img=None, pose=None, subsample: int = 4,
     if color_img is None:
         fig.colorbar(sc, shrink=0.6, label="Depth")
     if pose is not None:
-        pose = np.asarray(pose)
-        origin = pose[:3, 3]
         scale = float(np.percentile(pts[:, 2], 50)) * 0.15 if len(pts) else 1.0
-        for k, c in zip(range(3), "rgb"):
-            axis = pose[:3, k] * scale
-            ax.plot([origin[0], origin[0] + axis[0]],
-                    [origin[1], origin[1] + axis[1]],
-                    [origin[2], origin[2] + axis[2]], c=c)
+        plot_cameras(ax, pose1=np.eye(4), pose2=np.asarray(pose), size=scale)
     ax.set_xlabel("X")
     ax.set_ylabel("Y")
     ax.set_zlabel("Z")
@@ -208,6 +243,118 @@ def plot_point_cloud(pointmap, color_img=None, pose=None, subsample: int = 4,
         plt.close(fig)
         return None
     return fig
+
+
+def visualize_pair_full(rgb1, depth1, pointmap1, rgb2, depth2, pointmap2,
+                        pose=None, intrinsics=None,
+                        title: str = "Pair Visualization",
+                        camera_size: float = 100.0,
+                        save_path: Optional[str] = None):
+    """Full pair panel (visualize.py:463-541): 2×3 grid with RGB1/Depth1,
+    RGB2/Depth2, and a COMBINED 3-D view — pointmap1 depth-colored,
+    pointmap2 in red, plus both camera frames and their link."""
+    if intrinsics is not None:
+        print("Intrinsics:\n", np.asarray(intrinsics))
+    if pose is not None:
+        print("Relative Pose:\n", np.asarray(pose))
+    fig = plt.figure(figsize=(16, 10))
+    fig.suptitle(title, fontsize=16)
+    for idx, (img, name) in ((1, (rgb1, "RGB Image 1")),
+                             (4, (rgb2, "RGB Image 2"))):
+        ax = fig.add_subplot(2, 3, idx)
+        ax.imshow(np.clip(_to_hwc(img), 0, 1))
+        ax.set_title(name)
+        ax.axis("off")
+    for idx, (d, name) in ((2, (depth1, "Depth 1")), (5, (depth2, "Depth 2"))):
+        ax = fig.add_subplot(2, 3, idx)
+        im = ax.imshow(np.asarray(d), cmap="plasma")
+        ax.set_title(name)
+        ax.axis("off")
+        fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04, label="Depth")
+    ax3 = fig.add_subplot(2, 3, 3, projection="3d")
+    _scatter_pointmap(ax3, pointmap1, color_mode="depth", point_size=0.5)
+    _scatter_pointmap(ax3, pointmap2, point_size=0.5, color="red")
+    plot_cameras(ax3, pose1=np.eye(4), pose2=pose, size=camera_size)
+    ax3.set_title("3D View with Combined Camera Poses")
+    plt.tight_layout()
+    if save_path:
+        plt.savefig(save_path, dpi=150)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def visualize_pair_merged_full(rgb1, depth1, pointmap1, rgb2, depth2,
+                               pointmap2, title: str = "Pair Visualization",
+                               save_path: Optional[str] = None):
+    """Merged pair panel (visualize.py:725-818): 2×3 grid where each view
+    gets its OWN 3-D pointmap subplot (RGB | depth | cloud per row)."""
+    fig = plt.figure(figsize=(16, 10))
+    fig.suptitle(title, fontsize=16)
+    rows = [(rgb1, depth1, pointmap1, "1", 0), (rgb2, depth2, pointmap2, "2", 3)]
+    for rgb, depth, pm, n, off in rows:
+        ax = fig.add_subplot(2, 3, off + 1)
+        ax.imshow(np.clip(_to_hwc(rgb), 0, 1))
+        ax.set_title(f"RGB Image {n}")
+        ax.axis("off")
+        ax = fig.add_subplot(2, 3, off + 2)
+        im = ax.imshow(np.asarray(depth), cmap="plasma")
+        ax.set_title(f"Depth {n}")
+        ax.axis("off")
+        fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04, label="Depth")
+        ax = fig.add_subplot(2, 3, off + 3, projection="3d")
+        _scatter_pointmap(ax, pm, color_mode="depth", point_size=0.5)
+        ax.set_title(f"3D Pointmap {n}")
+    plt.tight_layout()
+    if save_path:
+        plt.savefig(save_path, dpi=150)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def visualize_pair_from_dir(pseudo_gt_dir: str, pair_name: str,
+                            rgb1=None, rgb2=None, merged: bool = False,
+                            save_path: Optional[str] = None):
+    """Drive the full pair panels from the 8-directory pseudo-GT layout the
+    generator writes (pseudo_gt.py:519-592): loads pointmap/depth/intrinsics/
+    pose npys by pair name. rgb1/rgb2 default to depth-shaped gray frames
+    when the original RGB files are unavailable."""
+    import glob
+    import os
+
+    def load(sub, name):
+        p = os.path.join(pseudo_gt_dir, sub, name + ".npy")
+        if not os.path.exists(p):
+            # pointmap1 files carry a base-name prefix before the pair name
+            # (dataset_loader.py:147-165 glob heuristics)
+            hits = sorted(glob.glob(
+                os.path.join(pseudo_gt_dir, sub, f"*{name}.npy")))
+            if not hits:
+                raise FileNotFoundError(p)
+            p = hits[0]
+        return np.load(p)
+
+    pm1 = load("pointmap1", pair_name)
+    pm2 = load("pointmap2", pair_name)
+    d1, d2 = pm1[..., 2], pm2[..., 2]
+    pose = load("poses", pair_name)
+    intr = load("intrinsics", pair_name)
+
+    def gray(d):
+        span = float(np.ptp(d)) + 1e-6
+        return np.repeat(((d - d.min()) / span)[..., None], 3, -1)
+
+    if rgb1 is None:
+        rgb1 = gray(d1)
+    if rgb2 is None:
+        rgb2 = gray(d2)
+    if merged:
+        return visualize_pair_merged_full(rgb1, d1, pm1, rgb2, d2, pm2,
+                                          title=pair_name, save_path=save_path)
+    return visualize_pair_full(rgb1, d1, pm1, rgb2, d2, pm2, pose=pose,
+                               intrinsics=intr, title=pair_name,
+                               save_path=save_path)
 
 
 def visualize_depth_result(thermal_img, depth, confidence=None,
