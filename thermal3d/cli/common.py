@@ -34,4 +34,22 @@ def add_preset_flag(parser):
     parser.add_argument("--model_preset", type=str, default="full",
                         choices=["full", "tiny"],
                         help="'tiny' shrinks the model for smoke tests")
+    parser.add_argument("--scan_layers", action="store_true",
+                        help="roll the transformer stacks into lax.scan: "
+                             "identical numerics, ~10x smaller compiled "
+                             "program (fast first-compile for the 512 "
+                             "models; see DustrModelConfig.scan_layers)")
     return parser
+
+
+def apply_scan(config: DustrModelConfig, params, scan_layers: bool):
+    """Apply --scan_layers: flip the config and restack converted
+    (checkpoint-native, unrolled) params into the scan layout."""
+    if not scan_layers:
+        return config, params
+    config = dataclasses.replace(config, scan_layers=True)
+    if params is not None:
+        from thermal3d.models.scan_params import to_scan_params
+
+        params = to_scan_params(params, config)
+    return config, params

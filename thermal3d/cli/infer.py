@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="outlier-median + guided + bilateral refinement")
     p.add_argument("--no_vis", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--int8_group_size", type=int, default=None,
+                   help="int8 grouped-scale quantization (e.g. 128): several"
+                        "x lower drift than whole-column scales for a few %% "
+                        "speed (PARITY.md int8 frontier)")
     p.add_argument("--int8", action="store_true",
                    help="int8 MXU serving mode (~1.2x faster; opt-in, "
                         "drift-gated — see PARITY.md)")
@@ -88,10 +92,14 @@ def main(argv=None):
                           args.compute_dtype)
     loaded = _load_params(args.weights, config)
     params, head_params = (loaded if loaded else (None, None))
+    from thermal3d.cli.common import apply_scan
+
+    config, params = apply_scan(config, params, args.scan_layers)
     engine = InferenceEngine(config, params=params,
                              use_thermal_head=not args.no_thermal_model,
                              thermal_head_params=head_params,
-                             quantize_int8=args.int8)
+                             quantize_int8=args.int8,
+                             int8_group_size=args.int8_group_size)
     os.makedirs(args.output_dir, exist_ok=True)
 
     if os.path.isdir(args.img_path):

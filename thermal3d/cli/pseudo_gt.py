@@ -49,6 +49,9 @@ def main(argv=None):
         converted, report = convert_checkpoint(args.weights, config)
         print(f"Converted MASt3R checkpoint: {len(report['converted'])} tensors")
         params = converted["params"]
+    from thermal3d.cli.common import apply_scan
+
+    config, params = apply_scan(config, params, args.scan_layers)
     gen = PseudoGTGenerator(config, params=params, batch_size=args.batch_size,
                             calib_file=args.calib_file)
 
