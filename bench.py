@@ -182,6 +182,12 @@ def main():
     from thermal3d.preprocess.enhance import enhance_thermal_contrast
 
     use_int8 = "--int8" in sys.argv
+    int8_only = ()
+    for a in list(sys.argv):
+        if a.startswith("--int8-scope="):
+            int8_only = {"all": (), "mlp": ("fc1", "fc2"),
+                         "fc1": ("fc1",)}[a.split("=", 1)[1]]
+            sys.argv.remove(a)
     batch = int(positional[0]) if positional else 32
     # 30 chained iterations: enough to amortize this harness's per-run relay
     # dispatch/fetch overhead so the number measures the chip's steady state
@@ -210,7 +216,7 @@ def main():
     if use_int8:  # int8 MXU serving mode (accuracy-gated, tests/test_quant.py)
         from thermal3d.kernels.quant import quantize_params_int8
 
-        params, quant = quantize_params_int8(params)
+        params, quant = quantize_params_int8(params, only=int8_only)
     head_params = jax.jit(lambda k: head.init(k, jnp.zeros((1, h, w, 3))))(
         jax.random.key(1))["params"]
 

@@ -62,6 +62,21 @@ def main():
         return rel
 
     base = measure("flat")
+    if "--pareto" in sys.argv:
+        # partial-quantization frontier: drift vs fraction of GEMMs on int8.
+        # (full sweep showed drift is accumulated activation-quant noise
+        # spread evenly — scale granularity and single-layer skips barely
+        # move it, so the fraction quantized is the real lever)
+        measure("mlp_only", int8_only=("fc1", "fc2"))
+        measure("attn_only", int8_only=("qkv", "proj", "projq", "projk",
+                                        "projv"))
+        measure("enc_only", int8_skip=tuple(
+            [f"dec_blocks_{i}" for i in range(cfg.dec_depth)]
+            + [f"dec_blocks2_{i}" for i in range(cfg.dec_depth)]
+            + ["decoder_embed"]))
+        measure("fc1_only", int8_only=("fc1",))
+        _write(results)
+        return
     measure("group256", int8_group_size=256)
     g128 = measure("group128", int8_group_size=128)
 
@@ -81,13 +96,19 @@ def main():
             skip = tuple(n for _, n in sens[:k])
             measure(f"group128+skip{k}", int8_group_size=128, int8_skip=skip)
 
+    _write(results)
+
+
+def _write(results):
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "INT8_SWEEP.md")
-    with open(out, "w") as f:
-        f.write("# Int8 drift sweep (production dims, f32 reference, "
-                "random init)\n\nProtocol: scripts/int8_sensitivity.py — "
-                "relative depth RMS drift vs the float engine.\n\n"
-                "| config | rel RMS drift |\n|---|---|\n")
+    mode = "a" if os.path.exists(out) else "w"
+    with open(out, mode) as f:
+        if mode == "w":
+            f.write("# Int8 drift sweep (production dims, f32 reference, "
+                    "random init)\n\nProtocol: scripts/int8_sensitivity.py — "
+                    "relative depth RMS drift vs the float engine.\n")
+        f.write("\n| config | rel RMS drift |\n|---|---|\n")
         for r in results:
             f.write(f"| {r['config']} | {r['rel_rms_drift']} |\n")
     print(f"wrote {out}")

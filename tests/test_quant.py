@@ -69,6 +69,28 @@ def test_quantize_skip_keeps_layers_float(rng, tiny_config):
     assert any(leaf.dtype == jnp.int8 for leaf in flat.values())
 
 
+def test_quantize_only_restricts_to_named_modules(rng, tiny_config):
+    """only=('fc1',) quantizes exactly the MLP fc1 kernels (the <=1%-drift
+    serving scope, docs/INT8_SWEEP.md)."""
+    from flax import traverse_util
+
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    h, w = tiny_config.img_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.key(0), dummy, dummy)["params"]
+    pq, quant = quantize_params_int8(params, only=("fc1",))
+    flat = traverse_util.flatten_dict(pq)
+    n = 0
+    for path, leaf in flat.items():
+        if leaf.dtype == jnp.int8:
+            n += 1
+            assert path[-2] == "fc1", path
+    cfg = tiny_config
+    assert n == cfg.enc_depth + cfg.dec_depth * 2  # one fc1 per block
+
+
 def test_engine_int8_grouped_drift_smaller_than_flat(rng, tiny_config):
     """End-to-end: group_size=mlp-width/2 segments reduce depth drift vs
     whole-column scales on the same params."""

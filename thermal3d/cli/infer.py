@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="outlier-median + guided + bilateral refinement")
     p.add_argument("--no_vis", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--int8_scope", type=str, default="all",
+                   choices=["all", "mlp", "fc1"],
+                   help="which trunk GEMMs the int8 mode quantizes: 'all' "
+                        "(fastest, ~2.7%% depth drift), 'mlp' (fc1+fc2, "
+                        "~1.5%%), 'fc1' (~1.0%% — meets the 1%% BASELINE "
+                        "bar; docs/INT8_SWEEP.md frontier)")
     p.add_argument("--int8_group_size", type=int, default=None,
                    help="int8 grouped-scale quantization (e.g. 128): several"
                         "x lower drift than whole-column scales for a few %% "
@@ -99,7 +105,9 @@ def main(argv=None):
                              use_thermal_head=not args.no_thermal_model,
                              thermal_head_params=head_params,
                              quantize_int8=args.int8,
-                             int8_group_size=args.int8_group_size)
+                             int8_group_size=args.int8_group_size,
+                             int8_only={"all": (), "mlp": ("fc1", "fc2"),
+                                        "fc1": ("fc1",)}[args.int8_scope])
     os.makedirs(args.output_dir, exist_ok=True)
 
     if os.path.isdir(args.img_path):

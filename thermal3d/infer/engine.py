@@ -42,6 +42,7 @@ class InferenceEngine:
         quantize_int8: bool = False,
         int8_group_size: Optional[int] = None,
         int8_skip: tuple = (),
+        int8_only: tuple = (),
     ):
         self.config = config
         self.model = AsymmetricCroCo3DStereo(config)
@@ -67,7 +68,8 @@ class InferenceEngine:
             # drift (grouped scales); int8_skip holds named layers in float
             # (scripts/int8_sensitivity.py ranks them) — PARITY.md frontier.
             params, self.quant = quantize_params_int8(
-                params, group_size=int8_group_size, skip=int8_skip)
+                params, group_size=int8_group_size, skip=int8_skip,
+                only=int8_only)
         self.params = params
         self.use_thermal_head = use_thermal_head
         self._thermal_head = ThermalPreprocessHead()

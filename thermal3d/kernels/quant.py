@@ -107,15 +107,19 @@ def quantize_kernel(w: jnp.ndarray, group_size: Optional[int] = None
     return wq.reshape(k, n).astype(jnp.int8), ws
 
 
-def _targeted(path: Tuple[str, ...], skip: Collection[str]) -> bool:
+def _targeted(path: Tuple[str, ...], skip: Collection[str],
+              only: Collection[str]) -> bool:
     top = path[0]
     if top in skip:
+        return False
+    if only and path[-2] not in only:
         return False
     return top.startswith(("enc_blocks", "dec_blocks")) or top == "decoder_embed"
 
 
 def quantize_params_int8(params: Dict, group_size: Optional[int] = None,
-                         skip: Collection[str] = ()) -> Tuple[Dict, Dict]:
+                         skip: Collection[str] = (),
+                         only: Collection[str] = ()) -> Tuple[Dict, Dict]:
     """Returns (params_q, quant_collection).
 
     params_q mirrors `params` with targeted 2-D 'kernel' leaves replaced by
@@ -126,12 +130,18 @@ def quantize_params_int8(params: Dict, group_size: Optional[int] = None,
     128 matches the MXU tile and cuts drift — PARITY.md).
     skip: top-level module names (e.g. 'enc_blocks_0', 'decoder_embed') to
     leave in float.
+    only: restrict quantization to Dense modules with these names (e.g.
+    ('fc1','fc2') = MLP GEMMs only — 2/3 of each block's FLOPs). Empty =
+    all trunk GEMMs. int8 drift is accumulated activation-quant noise spread
+    evenly over the ~100 trunk GEMMs (docs/INT8_SWEEP.md: grouping scales
+    and skipping single layers barely move it), so the accuracy/speed
+    frontier is the FRACTION of GEMMs quantized, which `only` controls.
     """
     flat = traverse_util.flatten_dict(params)
     qflat, quant = {}, {}
     for path, leaf in flat.items():
         if (path[-1] == "kernel" and getattr(leaf, "ndim", 0) == 2
-                and _targeted(path, skip)):
+                and _targeted(path, skip, only)):
             # whole-column fallback for kernels whose K the group doesn't
             # divide (production Ks 768/1024/3072/4096 all divide 128)
             gs = group_size if group_size and leaf.shape[0] % group_size == 0 \
