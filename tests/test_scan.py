@@ -66,6 +66,32 @@ def test_scan_init_shapes_match_stacked_layout(rng):
     assert shapes(native) == shapes(converted)
 
 
+def test_scan_with_remat_gradients(rng):
+    """remat composes with scan (the 512-training memory configuration):
+    gradients still match the plain unrolled model."""
+    from thermal3d.core.config import DustrModelConfig
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+    from thermal3d.models.scan_params import to_scan_params
+
+    base = DustrModelConfig(**TINY_KW)
+    remat_scan = dataclasses.replace(base, scan_layers=True, remat=True)
+    unrolled = AsymmetricCroCo3DStereo(base)
+    scanned = AsymmetricCroCo3DStereo(remat_scan)
+    img = np.random.default_rng(1).uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    params = unrolled.init(jax.random.key(0), img, img)["params"]
+    sparams = to_scan_params(params, base)
+
+    def loss(m, p):
+        p1, _ = m.apply({"params": p}, img, img)
+        return jnp.mean(p1["pts3d"] ** 2)
+
+    gu = jax.grad(lambda p: loss(unrolled, p))(params)["patch_embed"]
+    gs = jax.grad(lambda p: loss(scanned, p))(sparams)["patch_embed"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-5), gu, gs)
+
+
 def test_scan_gradients_match_unrolled(rng):
     from thermal3d.models.scan_params import from_scan_params, to_scan_params
 
