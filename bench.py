@@ -92,7 +92,8 @@ def bench_train(batch: int, n_iters: int, remat: bool):
     }))
 
 
-def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False):
+def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
+                    split: bool = False):
     """Pseudo-GT generation throughput (scripts/pseudo_gt.py:507-611 is the
     reference's second production workload): frozen MASt3R-512 two-view
     forward + on-device intrinsics + Umeyama pose, one jitted step.
@@ -111,20 +112,34 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False):
 
     config = dc.replace(MASTR_512_CATMLPDPT, compute_dtype="bfloat16",
                         attention_impl=attn, scan_layers=scan)
-    gen = PseudoGTGenerator(config, batch_size=batch)
+    gen = PseudoGTGenerator(config, batch_size=batch, split_programs=split)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), gen.params)
     h, w = config.img_size
     ks = jax.random.split(jax.random.key(0), 2)
     rgb1 = jax.random.uniform(ks[0], (batch, h, w, 3))
     rgb2 = jax.random.uniform(ks[1], (batch, h, w, 3))
 
-    @jax.jit
-    def once(rgb1):
-        # feedback computed INSIDE the jitted program: eager ops dispatched
-        # through this harness's TPU relay cost seconds each (docs/PERF.md)
-        out = gen._step_impl(params, rgb1, rgb2)
-        fb = jnp.tanh(jnp.mean(out["depth1"], axis=(1, 2)))[:, None, None, None]
-        return out, rgb1 * (1.0 + fb * 1e-4)
+    if split:
+        # two compiled programs (encoder / decoder+heads+geometry): each XLA
+        # compile is ~half the size — for environments where the single 512
+        # program compiles too slowly through the remote-compile relay
+        @jax.jit
+        def tail_fb(params, feats, pos, rgb1):
+            out = gen._tail_impl(params, feats, pos)
+            fb = jnp.tanh(jnp.mean(out["depth1"], axis=(1, 2)))[:, None, None, None]
+            return out, rgb1 * (1.0 + fb * 1e-4)
+
+        def once(rgb1):
+            feats, pos, grid = gen._enc(params, rgb1, rgb2)
+            return tail_fb(params, feats, pos, rgb1)
+    else:
+        @jax.jit
+        def once(rgb1):
+            # feedback computed INSIDE the jitted program: eager ops
+            # dispatched through this harness's TPU relay cost seconds each
+            out = gen._step_impl(params, rgb1, rgb2)
+            fb = jnp.tanh(jnp.mean(out["depth1"], axis=(1, 2)))[:, None, None, None]
+            return out, rgb1 * (1.0 + fb * 1e-4)
 
     _, rgb1 = _warmup_with_retry(lambda: once(rgb1))
     t0 = time.perf_counter()
@@ -142,6 +157,7 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False):
         "pose00": round(final, 4),
         "attn": attn,
         **({"scan": True} if scan else {}),
+        **({"split": True} if split else {}),
     }))
 
 
@@ -173,7 +189,8 @@ def main():
     if "--pseudo-gt" in sys.argv:
         batch = int(positional[0]) if positional else 4
         n_iters = int(positional[1]) if len(positional) > 1 else 10
-        bench_pseudo_gt(batch, n_iters, attn_flag, scan="--scan" in sys.argv)
+        bench_pseudo_gt(batch, n_iters, attn_flag, scan="--scan" in sys.argv,
+                        split="--split" in sys.argv)
         return
 
     from thermal3d.core.config import DUSTR_224_LINEAR

@@ -41,6 +41,25 @@ def mini_freiburg(tmp_path, rng):
     return root
 
 
+def test_generator_split_programs_matches_single(rng):
+    """split_programs (two compiled programs: encoder / rest) is numerically
+    the single-program step."""
+    from thermal3d.pseudo_gt.generator import PseudoGTGenerator
+
+    cfg = DustrModelConfig(**TINY_MASTR_KW)
+    gen1 = PseudoGTGenerator(cfg, batch_size=2)
+    gen2 = PseudoGTGenerator(cfg, params=gen1.params, batch_size=2,
+                             split_programs=True)
+    rgb1 = rng.uniform(0, 1, (2, *cfg.img_size, 3)).astype(np.float32)
+    rgb2 = rng.uniform(0, 1, (2, *cfg.img_size, 3)).astype(np.float32)
+    out1 = gen1.run_pairs(rgb1, rgb2)
+    out2 = gen2.run_pairs(rgb1, rgb2)
+    assert set(out1) == set(out2)
+    for k in out1:
+        np.testing.assert_allclose(out1[k], out2[k], rtol=2e-4, atol=2e-4,
+                                   err_msg=k)
+
+
 def test_pseudo_gt_roundtrip(mini_freiburg, tmp_path):
     """Generator output layout must be loadable by the training dataset —
     the C16 → C6 contract."""

@@ -189,6 +189,21 @@ class AsymmetricCroCo3DStereo(nn.Module):
             return head(hooked, grid)
         return head(hooked, grid, outs_f32[0], outs_f32[-1])
 
+    def decode_with_heads(self, f1: jnp.ndarray, f2: jnp.ndarray,
+                          pos: jnp.ndarray, grid: Tuple[int, int]
+                          ) -> Tuple[Dict, Dict]:
+        """Decoder + heads as a standalone apply-method: lets callers split
+        the forward into two compiled programs (encoder / rest), halving the
+        largest single XLA compile — the knob that gets the MASt3R-512
+        program through slow-compile environments (bench.py --split). Same
+        numerics as __call__ after encode()."""
+        outs1, outs2 = self.decode(f1, f2, pos)
+        res1 = self._run_head(self.head1, outs1, grid)
+        res2 = self._run_head(self.head2, outs2, grid)
+        pred2 = dict(res2)
+        pred2["pts3d_in_other_view"] = pred2.pop("pts3d")
+        return res1, pred2
+
     def __call__(self, img1: jnp.ndarray, img2: Optional[jnp.ndarray] = None
                  ) -> Tuple[Dict, Dict]:
         """img1/img2: [B, H, W, 3] in [0, 1] (the reference feeds [0,1] thermal

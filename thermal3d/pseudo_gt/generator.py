@@ -35,9 +35,16 @@ OUTPUT_DIRS = ("pointmap1", "pointmap2", "confidence1", "confidence2",
 class PseudoGTGenerator:
     def __init__(self, config: DustrModelConfig = MASTR_512_CATMLPDPT,
                  params: Optional[Dict] = None, batch_size: int = 4,
-                 calib_file: Optional[str] = None, rng_seed: int = 0):
+                 calib_file: Optional[str] = None, rng_seed: int = 0,
+                 split_programs: bool = False):
+        """split_programs: compile encoder and decoder+heads+geometry as TWO
+        programs instead of one — same numerics, one extra HBM round-trip of
+        the encoder features, but each XLA compile is roughly half the size
+        (for environments where the single 512 program compiles too slowly;
+        docs/PERF.md)."""
         self.config = config
         self.batch_size = batch_size
+        self.split_programs = split_programs
         self.model = AsymmetricCroCo3DStereo(config)
         h, w = config.img_size
         if params is None:
@@ -51,11 +58,37 @@ class PseudoGTGenerator:
                 self.calib_k, _, _ = load_thermal_calibration(calib_file)
             except Exception:
                 self.calib_k = None  # fall back to estimation (pseudo_gt.py:148)
-        self._step = jax.jit(self._step_impl)
+        if split_programs:
+            # the two-view concat and the feats split both live INSIDE the
+            # jitted programs: an eager op between them would dispatch
+            # through the (slow) host↔device path per call
+            self._enc = jax.jit(lambda p, rgb1, rgb2: self.model.apply(
+                {"params": p}, jnp.concatenate([rgb1, rgb2], axis=0),
+                method="encode"))
+            self._tail = jax.jit(
+                lambda p, feats, pos: self._tail_impl(p, feats, pos))
+            self._step = self._step_split
+        else:
+            self._step = jax.jit(self._step_impl)
+
+    def _step_split(self, params, rgb1, rgb2):
+        feats, pos, grid = self._enc(params, rgb1, rgb2)
+        return self._tail(params, feats, pos)
+
+    def _tail_impl(self, params, feats, pos):
+        grid = self.config.patch_grid
+        b = feats.shape[0] // 2
+        pred1, pred2 = self.model.apply({"params": params}, feats[:b],
+                                        feats[b:], pos, grid,
+                                        method="decode_with_heads")
+        return self._geometry(pred1, pred2)
 
     def _step_impl(self, params, rgb1, rgb2):
         """rgb*: [B, H, W, 3] in [0,1] → all pseudo-GT tensors, on device."""
         pred1, pred2 = self.model.apply({"params": params}, rgb1, rgb2)
+        return self._geometry(pred1, pred2)
+
+    def _geometry(self, pred1, pred2):
         pm1 = pred1["pts3d"].astype(jnp.float32)
         pm2 = pred2["pts3d_in_other_view"].astype(jnp.float32)
         c1 = pred1["conf"].astype(jnp.float32)
