@@ -71,6 +71,42 @@ def test_two_process_dp_matches_single_process():
     np.testing.assert_allclose(losses[0], ref, rtol=2e-5)
 
 
+def test_initialize_multihost_env_fallback(monkeypatch):
+    """THERMAL3D_* env vars feed jax.distributed.initialize when flags are
+    omitted (the per-host job-spec launch pattern)."""
+    import jax
+
+    import thermal3d.core.distributed as dist
+
+    calls = {}
+    monkeypatch.setenv("THERMAL3D_COORDINATOR", "10.0.0.1:8476")
+    monkeypatch.setenv("THERMAL3D_NUM_PROCESSES", "4")
+    monkeypatch.setenv("THERMAL3D_PROCESS_ID", "2")
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.update(kw))
+    monkeypatch.setattr(jax, "process_index", lambda: 2)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    pid, pcount = dist.initialize_multihost()
+    assert calls == {"coordinator_address": "10.0.0.1:8476",
+                     "num_processes": 4, "process_id": 2}
+    assert (pid, pcount) == (2, 4)
+
+
+def test_batchloader_rejects_bad_process_args():
+    import pytest as _pytest
+
+    from thermal3d.data.pipeline import BatchLoader
+
+    class DS:
+        def __len__(self):
+            return 8
+
+    with _pytest.raises(ValueError, match="divisible"):
+        BatchLoader(DS(), batch_size=3, process_id=0, process_count=2)
+    with _pytest.raises(ValueError, match="out of range"):
+        BatchLoader(DS(), batch_size=4, process_id=2, process_count=2)
+
+
 def test_batchloader_process_slicing_reassembles_global_stream():
     """Union of per-process loader outputs == the single-process batch stream."""
 
