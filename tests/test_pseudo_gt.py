@@ -168,6 +168,23 @@ def test_model_info_stats_and_validation(tiny_config, rng):
     assert arch["dec_blocks"]["attention"] == "Self + Cross Attention"
     assert arch["patch_embed"]["embed_dim"] == 64
 
+    # scan-layout introspection: stacked enc_scan/dec_scan keys reconstruct
+    # to the same architecture
+    scan_state = {"patch_embed.proj.weight": state["patch_embed.proj.weight"]}
+    for k, v in state.items():
+        for src, dst in (("enc_blocks.", "enc_scan.blk."),
+                         ("dec_blocks.", "dec_scan.blk1."),
+                         ("dec_blocks2.", "dec_scan.blk2.")):
+            if k.startswith(src) and k[len(src)].isdigit():
+                rest = k[len(src):].split(".", 1)[1]
+                key = dst + rest
+                scan_state.setdefault(key, []).append(v)
+    scan_state = {k: (np.stack(v) if isinstance(v, list) else v)
+                  for k, v in scan_state.items()}
+    arch2 = reconstruct_architecture(scan_state)
+    assert arch2["enc_blocks"]["n_blocks"] == 2
+    assert arch2["dec_blocks2"]["n_blocks"] == 2
+
     report = validate_against_config(state, tiny_config)
     assert not report["missing"] and not report["unexpected"]
     del state["enc_norm.weight"]

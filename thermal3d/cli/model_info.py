@@ -51,7 +51,18 @@ def param_stats(tree_or_state: Dict) -> Dict:
 
 def reconstruct_architecture(state: Dict[str, np.ndarray]) -> Dict:
     """Infer block counts / dims / heads from a torch state dict's key layout
-    (scripts/model_info.py:158-334)."""
+    (scripts/model_info.py:158-334). scan_layers trees (enc_scan/dec_scan
+    stacked params) are recognized by their leading depth axis."""
+    if any(k.startswith(("enc_scan.", "dec_scan.")) for k in state):
+        state = dict(state)
+        for prefix, targets in (("enc_scan.blk.", ("enc_blocks",)),
+                                ("dec_scan.blk1.", ("dec_blocks",)),
+                                ("dec_scan.blk2.", ("dec_blocks2",))):
+            for k in [k for k in state if k.startswith(prefix)]:
+                v = state.pop(k)
+                rest = k[len(prefix):]
+                for i in range(v.shape[0]):
+                    state[f"{targets[0]}.{i}.{rest}"] = v[i]
     arch: Dict = OrderedDict()
     for comp in ("patch_embed", "enc_blocks", "dec_blocks", "dec_blocks2"):
         block_ids = set()
