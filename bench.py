@@ -93,7 +93,8 @@ def bench_train(batch: int, n_iters: int, remat: bool):
 
 
 def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
-                    split: bool = False):
+                    split: bool = False, chained: bool = False,
+                    tiny: bool = False):
     """Pseudo-GT generation throughput (scripts/pseudo_gt.py:507-611 is the
     reference's second production workload): frozen MASt3R-512 two-view
     forward + on-device intrinsics + Umeyama pose, one jitted step.
@@ -112,12 +113,64 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
 
     config = dc.replace(MASTR_512_CATMLPDPT, compute_dtype="bfloat16",
                         attention_impl=attn, scan_layers=scan)
+    if tiny:
+        # CPU-verifiable shrink of the same program shape (not a perf mode).
+        config = dc.replace(config, img_size=(64, 64), enc_embed_dim=64,
+                            enc_depth=2, enc_num_heads=2, dec_embed_dim=48,
+                            dec_depth=2, dec_num_heads=2,
+                            compute_dtype="float32")
     gen = PseudoGTGenerator(config, batch_size=batch, split_programs=split)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), gen.params)
     h, w = config.img_size
     ks = jax.random.split(jax.random.key(0), 2)
     rgb1 = jax.random.uniform(ks[0], (batch, h, w, 3))
     rgb2 = jax.random.uniform(ks[1], (batch, h, w, 3))
+
+    if chained:
+        # All iterations INSIDE one jitted program, with a TRACED iteration
+        # count (fori_loop lowers to while_loop): one compile serves every n.
+        # Timing two different n values and differencing cancels the
+        # per-dispatch cost completely — on this dev harness a single program
+        # dispatch through the TPU relay costs seconds, which at batch 4
+        # dwarfs the device step and is what the non-chained mode measures
+        # (docs/PERF.md "pseudo-GT" section).
+        @jax.jit
+        def run_chain(params, rgb1, rgb2, n):
+            def body(_, carry):
+                r1, acc = carry
+                out = gen._step_impl(params, r1, rgb2)
+                fb = jnp.tanh(jnp.mean(out["depth1"], axis=(1, 2)))
+                r1 = r1 * (1.0 + fb[:, None, None, None] * 1e-4)
+                return r1, acc + out["poses"][0, 0, 0]
+            _, acc = jax.lax.fori_loop(0, n, body, (rgb1, jnp.float32(0.0)))
+            return acc
+
+        def timed(n):
+            t0 = time.perf_counter()
+            acc = run_chain(params, rgb1, rgb2, n)
+            final = float(acc)
+            return time.perf_counter() - t0, final
+
+        _warmup_with_retry(lambda: timed(1))
+        n_small = 2
+        n_big = n_small + n_iters
+        dt_small, _ = timed(n_small)
+        dt_big, final = timed(n_big)
+        dt = dt_big - dt_small  # dispatch + h2d overhead cancels
+        pps = batch * n_iters / dt
+        print(json.dumps({
+            "metric": "pseudo_gt_pairs_per_sec_per_chip_mastr512",
+            "value": round(pps, 3),
+            "unit": "pairs/s",
+            "vs_baseline": None,
+            "step_ms": round(1000 * dt / n_iters, 1),
+            "dispatch_s": round(dt_small - 2 * dt / n_iters, 2),
+            "pose_acc": round(final, 4),
+            "attn": attn,
+            "chained": True,
+            **({"scan": True} if scan else {}),
+        }))
+        return
 
     if split:
         # two compiled programs (encoder / decoder+heads+geometry): each XLA
@@ -190,7 +243,9 @@ def main():
         batch = int(positional[0]) if positional else 4
         n_iters = int(positional[1]) if len(positional) > 1 else 10
         bench_pseudo_gt(batch, n_iters, attn_flag, scan="--scan" in sys.argv,
-                        split="--split" in sys.argv)
+                        split="--split" in sys.argv,
+                        chained="--chained" in sys.argv,
+                        tiny="--tiny" in sys.argv)
         return
 
     from thermal3d.core.config import DUSTR_224_LINEAR
