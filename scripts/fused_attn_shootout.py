@@ -80,7 +80,7 @@ def main():
         for g in GROUPS:
             if h % g:
                 continue
-            for bb in (1, 2, 4, 8):
+            for bb in (1, 2, 4, 8, 16):
                 if b % bb:
                     continue
                 variants = [(f"fused_g{g}b{bb}", True)]

@@ -130,7 +130,8 @@ def _flash_attention_fwd_pallas(q, k, v, *, scale: float, interpret: bool = Fals
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
         )
     mem_space = pltpu.VMEM if _HAS_PLTPU else None
 
@@ -278,7 +279,8 @@ def _flash_attention_fwd_grouped(q, k, v, *, scale: float, group: int = 4,
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024)
+            vmem_limit_bytes=96 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"))
 
     return pl.pallas_call(
         kernel,
@@ -381,8 +383,11 @@ def _fused_rope_attention_fwd(qkv, cos, sin, *, num_heads: int, scale: float,
     blk = (bb, s_pad, g * d)
     kwargs = {}
     if _HAS_PLTPU and not interpret:
+        # both grid dims are independent programs — declaring them parallel
+        # lets Mosaic schedule/pipeline block prefetch across them freely
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"))
 
     return pl.pallas_call(
         kernel,
@@ -439,7 +444,8 @@ def _fused_rope_xattn_fwd(q, k, v, cos, sin, *, num_heads: int, scale: float,
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"))
 
     return pl.pallas_call(
         kernel,
