@@ -99,12 +99,29 @@ def main():
 
     results = {}
     cfg_full = TrainConfig(batch_size=batch, use_enhanced_loss=True)
-    results["full"] = timed_step(cfg_full, batch_for((512, 512)))
-    results["gt224"] = timed_step(cfg_full, batch_for((224, 224)))
     cfg_plain = TrainConfig(batch_size=batch, use_enhanced_loss=False)
-    results["plain_loss"] = timed_step(cfg_plain, batch_for((224, 224)))
-    results["fwd_only"] = timed_step(cfg_plain, batch_for((224, 224)),
-                                     fwd_only=True)
+    plan = [
+        ("full", cfg_full, (512, 512), False),
+        ("gt224", cfg_full, (224, 224), False),
+        ("plain_loss", cfg_plain, (224, 224), False),
+        ("fwd_only", cfg_plain, (224, 224), True),
+    ]
+    # --only NAME runs a single config and exits: once the dev harness's TPU
+    # relay drops a compile, the process's backend is poisoned (every later
+    # eager op fails), so retries must come from a FRESH process — drive each
+    # config as its own invocation and the compile cache makes reruns cheap
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1]
+    for name, cfg, gt_hw, fwd in plan:
+        if only and name != only:
+            continue
+        results[name] = timed_step(cfg, batch_for(gt_hw), fwd_only=fwd)
+        print(json.dumps({"config": name, "ms": round(results[name] * 1000, 1)}),
+              flush=True)
+    if only:
+        return
 
     report = {k: round(v * 1000, 1) for k, v in results.items()}
     report["resize_ms"] = round((results["full"] - results["gt224"]) * 1000, 1)
