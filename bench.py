@@ -114,11 +114,11 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
     config = dc.replace(MASTR_512_CATMLPDPT, compute_dtype="bfloat16",
                         attention_impl=attn, scan_layers=scan)
     if tiny:
-        # CPU-verifiable shrink of the same program shape (not a perf mode).
-        config = dc.replace(config, img_size=(64, 64), enc_embed_dim=64,
-                            enc_depth=2, enc_num_heads=2, dec_embed_dim=48,
-                            dec_depth=2, dec_num_heads=2,
-                            compute_dtype="float32")
+        # CPU-verifiable shrink of the same program shape (not a perf mode);
+        # reuse the CLI tiny preset so the dims live in exactly one place
+        from thermal3d.cli.common import apply_preset
+
+        config = apply_preset(config, "tiny", (64, 64), "float32")
     gen = PseudoGTGenerator(config, batch_size=batch, split_programs=split)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), gen.params)
     h, w = config.img_size
@@ -141,7 +141,13 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
                 out = gen._step_impl(params, r1, rgb2)
                 fb = jnp.tanh(jnp.mean(out["depth1"], axis=(1, 2)))
                 r1 = r1 * (1.0 + fb[:, None, None, None] * 1e-4)
-                return r1, acc + out["poses"][0, 0, 0]
+                # fold a scalar from EVERY output tensor into the carry so
+                # XLA cannot dead-code-eliminate any part of the production
+                # step (intrinsics/pose/confidences are not on the depth1
+                # feedback path and would otherwise be compiled away)
+                probe = sum(jnp.mean(v.astype(jnp.float32))
+                            for v in out.values())
+                return r1, acc + probe
             _, acc = jax.lax.fori_loop(0, n, body, (rgb1, jnp.float32(0.0)))
             return acc
 
@@ -257,8 +263,9 @@ def main():
     int8_only = ()
     for a in list(sys.argv):
         if a.startswith("--int8-scope="):
-            int8_only = {"all": (), "mlp": ("fc1", "fc2"),
-                         "fc1": ("fc1",)}[a.split("=", 1)[1]]
+            from thermal3d.kernels.quant import SCOPE_TO_ONLY
+
+            int8_only = SCOPE_TO_ONLY[a.split("=", 1)[1]]
             sys.argv.remove(a)
     batch = int(positional[0]) if positional else 32
     # 30 chained iterations: enough to amortize this harness's per-run relay

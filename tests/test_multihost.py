@@ -129,3 +129,36 @@ def test_batchloader_process_slicing_reassembles_global_stream():
     for fb, a, b in zip(full, p0, p1):
         np.testing.assert_array_equal(fb["x"],
                                       np.concatenate([a["x"], b["x"]]))
+
+
+def test_batchloader_pads_partial_final_batch_across_processes():
+    """drop_last=False + multihost: the final partial global batch must still
+    yield a FULL-shape batch on every process (even a rank owning zero rows),
+    so collective eval steps stay in lockstep; local_real_count exposes how
+    many leading rows are real."""
+
+    class ToyDataset:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), float(i), np.float32)}
+
+    from thermal3d.data.pipeline import BatchLoader
+
+    ds = ToyDataset()
+    loaders = [BatchLoader(ds, batch_size=8, shuffle=False, drop_last=False,
+                           process_id=p, process_count=2) for p in range(2)]
+    batches = [list(ld) for ld in loaders]
+    # both ranks yield the same number of batches, all full local shape
+    assert [len(b) for b in batches] == [2, 2]
+    for rank in range(2):
+        for b in batches[rank]:
+            assert b["x"].shape == (4, 2)
+    # final global batch holds rows 8,9: rank0 owns both (2 real + 2 pad),
+    # rank1 owns none (4 pad rows, duplicated from a valid index)
+    assert loaders[0].local_real_count(0) == 4
+    assert loaders[1].local_real_count(0) == 4
+    assert loaders[0].local_real_count(1) == 2
+    assert loaders[1].local_real_count(1) == 0
+    np.testing.assert_array_equal(batches[0][1]["x"][:2, 0], [8.0, 9.0])

@@ -43,9 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "~1.5%%), 'fc1' (~1.0%% — meets the 1%% BASELINE "
                         "bar; docs/INT8_SWEEP.md frontier)")
     p.add_argument("--int8_group_size", type=int, default=None,
-                   help="int8 grouped-scale quantization (e.g. 128): several"
-                        "x lower drift than whole-column scales for a few %% "
-                        "speed (PARITY.md int8 frontier)")
+                   help="int8 grouped-scale quantization (e.g. 128). NOTE: "
+                        "measured NOT to reduce drift on this model (2.79%% "
+                        "grouped vs 2.67%% flat — docs/INT8_SWEEP.md); use "
+                        "--int8_scope to control drift instead")
     p.add_argument("--int8", action="store_true",
                    help="int8 MXU serving mode (~1.2x faster; opt-in, "
                         "drift-gated — see PARITY.md)")
@@ -83,6 +84,7 @@ def main(argv=None):
     from thermal3d.core.config import (DUSTR_224_LINEAR, DUSTR_512_DPT,
                                        MASTR_512_CATMLPDPT)
     from thermal3d.infer.engine import InferenceEngine
+    from thermal3d.kernels.quant import SCOPE_TO_ONLY
     from thermal3d.preprocess.io import load_thermal_image
     from thermal3d.viz.panels import visualize_depth_result
 
@@ -106,8 +108,7 @@ def main(argv=None):
                              thermal_head_params=head_params,
                              quantize_int8=args.int8,
                              int8_group_size=args.int8_group_size,
-                             int8_only={"all": (), "mlp": ("fc1", "fc2"),
-                                        "fc1": ("fc1",)}[args.int8_scope])
+                             int8_only=SCOPE_TO_ONLY[args.int8_scope])
     os.makedirs(args.output_dir, exist_ok=True)
 
     if os.path.isdir(args.img_path):

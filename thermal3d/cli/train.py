@@ -106,11 +106,16 @@ def main(argv=None):
         pseudo_gt_dir=args.pseudo_gt_dir, frame_skip=args.frame_skip)
     print(f"Created {len(dataset)} validated thermal pairs")
 
-    model = AsymmetricCroCo3DStereo(model_cfg)
     converted, report = convert_checkpoint(args.weights, model_cfg)
     print(f"Converted checkpoint: {len(report['converted'])} tensors "
           f"({len(report['skipped'])} skipped, {len(report['unknown'])} unknown)")
     params = converted["params"]
+    from thermal3d.cli.common import apply_scan
+
+    # --scan_layers: restack converted params and build the scan-mode model
+    # (the converter always emits the checkpoint-native unrolled layout)
+    model_cfg, params = apply_scan(model_cfg, params, args.scan_layers)
+    model = AsymmetricCroCo3DStereo(model_cfg)
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     logger = MetricLogger(

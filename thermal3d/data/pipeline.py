@@ -64,6 +64,18 @@ class BatchLoader:
         n = len(self.indices)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def local_real_count(self, bi: int) -> int:
+        """Number of REAL (non-padded) samples in this process's slice of
+        global batch `bi`. With drop_last=False the final global batch may
+        be partial; the iterator pads every process's slice to the full
+        per-process size so all processes yield the same number of
+        fixed-shape batches (collective train/eval steps must stay in
+        lockstep across hosts) — use this count to average over real
+        samples only."""
+        bs_local = self.batch_size // self.process_count
+        start = bi * self.batch_size + self.process_id * bs_local
+        return int(np.clip(len(self.indices) - start, 0, bs_local))
+
     def _epoch_order(self) -> np.ndarray:
         if not self.shuffle:
             return self.indices
@@ -88,6 +100,17 @@ class BatchLoader:
 
             def submit(bi):
                 idxs = order[bi * bs + lo : bi * bs + lo + bs_local]
+                if (not self.drop_last and self.process_count > 1
+                        and len(idxs) < bs_local):
+                    # partial final global batch: a high-rank process may own
+                    # few or ZERO of its rows. Pad its slice with a valid
+                    # index so every process still yields a full-shape batch
+                    # for every global batch — otherwise processes execute
+                    # different numbers of collective eval steps and the job
+                    # deadlocks. local_real_count(bi) tells the consumer how
+                    # many leading rows are real.
+                    pad = np.broadcast_to(order[0], (bs_local - len(idxs),))
+                    idxs = np.concatenate([idxs, pad])
                 if get_batch is not None:
                     pending.append(pool.submit(get_batch, idxs))
                 else:

@@ -64,8 +64,9 @@ class InferenceEngine:
             # BASELINE 1%-AbsRel criterion before this may serve.
             from thermal3d.kernels.quant import quantize_params_int8
 
-            # int8_group_size=128 trades a few % speed for several× lower
-            # drift (grouped scales); int8_skip holds named layers in float
+            # int8_group_size: finer weight scales, measured NOT to reduce
+            # drift on this model (docs/INT8_SWEEP.md — the drift lever is
+            # int8_only/scope); int8_skip holds named layers in float
             # (scripts/int8_sensitivity.py ranks them) — PARITY.md frontier.
             params, self.quant = quantize_params_int8(
                 params, group_size=int8_group_size, skip=int8_skip,

@@ -11,9 +11,12 @@ docs/PERF.md). This module provides:
     group_size=G) the contraction axis is split into K/G segments, each with
     its own weight-column and activation-token scales: the matmul becomes a
     batched [.., G, K/G] × [G, K/G, N] int8 contraction (K/G=128 matches the
-    MXU tile) dequantized and summed per segment — finer scale resolution
-    cuts quantization drift several-fold (PARITY.md int8 section) at the cost
-    of G f32 partial-sum combines;
+    MXU tile) dequantized and summed per segment, at the cost of G f32
+    partial-sum combines. NOTE the round-3 sweep measured that finer scales
+    do NOT reduce end-to-end drift on this model (group128 2.79% vs flat
+    2.67% — the drift is accumulated ACTIVATION-quant noise, not weight-
+    scale resolution; docs/INT8_SWEEP.md), so grouping stays available for
+    weight distributions that need it but is not the drift lever here;
   * `quantize_params_int8` — a one-shot serving-time transform of a model
     param tree: 2-D Dense kernels inside the transformer trunk
     (enc_blocks*/dec_blocks*/decoder_embed) become int8 plus a parallel
@@ -40,6 +43,11 @@ import jax
 import jax.numpy as jnp
 
 from flax import traverse_util
+
+# named --int8_scope presets → quantize_params_int8(only=...) module-name
+# filters, shared by the inference CLI and bench.py (docs/INT8_SWEEP.md
+# frontier: all=780 fps/2.67% drift, fc1=666 fps/1.00%)
+SCOPE_TO_ONLY = {"all": (), "mlp": ("fc1", "fc2"), "fc1": ("fc1",)}
 
 
 def int8_dense(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
@@ -137,6 +145,15 @@ def quantize_params_int8(params: Dict, group_size: Optional[int] = None,
     and skipping single layers barely move it), so the accuracy/speed
     frontier is the FRACTION of GEMMs quantized, which `only` controls.
     """
+    if "enc_scan" in params or "dec_scan" in params:
+        # scan-layout trunks stack each block's kernels on a leading depth
+        # axis; the per-layer scale collections QuantDense reads don't exist
+        # in that layout, so quantization would silently target nothing but
+        # decoder_embed. Fail loudly instead (kernels/quant.py design rule).
+        raise ValueError(
+            "int8 quantization does not support scan_layers param layout; "
+            "quantize the unrolled params (models.scan_params.from_scan_params"
+            ") or drop --scan_layers")
     flat = traverse_util.flatten_dict(params)
     qflat, quant = {}, {}
     for path, leaf in flat.items():

@@ -167,6 +167,10 @@ def train_and_evaluate(
             if "pointmap1" not in batch:
                 continue
             n_real = batch["thermal1"].shape[0]
+            if hasattr(val_loader, "local_real_count"):
+                # the loader pads partial final batches (incl. empty high-rank
+                # multihost slices) with duplicate rows; count only real ones
+                n_real = min(n_real, val_loader.local_real_count(bi))
             local_bs = cfg.batch_size // pcount
             if n_real < local_bs:
                 pad = local_bs - n_real
