@@ -299,10 +299,14 @@ def main():
     head_params = jax.jit(lambda k: head.init(k, jnp.zeros((1, h, w, 3))))(
         jax.random.key(1))["params"]
 
+    from thermal3d.preprocess.resize import resize_bilinear_hw
+
     @jax.jit
     def step(params, quant, head_params, raw):
-        # full serving pipeline (thermal_dustr_inference.py:25-159)
-        resized = jax.image.resize(raw, (batch, h, w), method="bilinear")
+        # full serving pipeline (thermal_dustr_inference.py:25-159); resize
+        # matches the engine path (matmul bilinear, no antialias — cv2.resize
+        # semantics, thermal_dustr_inference.py:47)
+        resized = resize_bilinear_hw(raw, (h, w))
         enhanced = enhance_thermal_contrast(resized)  # [B,H,W,3]
         x = head.apply({"params": head_params}, enhanced)
         variables = {"params": params}

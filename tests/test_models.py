@@ -179,3 +179,24 @@ def test_rectangular_rope_orientation(tiny_config):
     p1t, _ = model_t.apply(params, img_t, img_t)  # same params, transposed grid
     assert not np.allclose(np.asarray(p1["pts3d"]).transpose(0, 2, 1, 3),
                            np.asarray(p1t["pts3d"]), atol=1e-3)
+
+
+def test_sobel_stencil_matches_grouped_conv(rng):
+    """sobel_edge_magnitude's separable pad/slice form must match the
+    reference's grouped 3×3 conv (thermal_dustr_model.py:96-101: zero
+    padding, cross-correlation) to f32 rounding."""
+    from thermal3d.models.thermal_wrap import (SOBEL_X, SOBEL_Y,
+                                               sobel_edge_magnitude)
+
+    x = rng.uniform(0, 1, (2, 17, 23, 3)).astype(np.float32)
+    c = x.shape[-1]
+    kx = jnp.tile(SOBEL_X[:, :, None, None], (1, 1, 1, c))
+    ky = jnp.tile(SOBEL_Y[:, :, None, None], (1, 1, 1, c))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kx.shape, ("NHWC", "HWIO", "NHWC"))
+    ex = jax.lax.conv_general_dilated(jnp.asarray(x), kx, (1, 1), [(1, 1), (1, 1)],
+                                      dimension_numbers=dn, feature_group_count=c)
+    ey = jax.lax.conv_general_dilated(jnp.asarray(x), ky, (1, 1), [(1, 1), (1, 1)],
+                                      dimension_numbers=dn, feature_group_count=c)
+    ref = np.asarray(jnp.sqrt(ex * ex + ey * ey))
+    got = np.asarray(sobel_edge_magnitude(jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -1,5 +1,6 @@
 """Preprocessing kernels vs numpy oracles of the reference formulas."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -92,3 +93,42 @@ def test_fixed_range_preserves_channels(rng):
     g = np.repeat(g[..., :1], 3, axis=-1)
     out = np.asarray(enhance_thermal_fixed_range(g))
     assert out.shape == (8, 8, 3)
+
+
+# ---- matmul resize (preprocess/resize.py) ----
+
+def test_resize_matmul_matches_jax_image(rng):
+    """The matmul formulation must match jax.image.resize to f32 rounding
+    (its weight matrices are extracted from jax.image.resize itself; the
+    GEMM accumulates taps in a different order, so allow ~1e-5),
+    up/downsample, with and without antialias."""
+    import jax
+
+    from thermal3d.preprocess.resize import resize_bilinear_hw
+
+    for (hi, wi), (ho, wo) in [((320, 416), (224, 224)),
+                               ((224, 224), (512, 512)),
+                               ((37, 53), (24, 60))]:
+        x = rng.uniform(0, 1, (3, hi, wi)).astype(np.float32)
+        for aa in (False, True):
+            ref = np.asarray(jax.image.resize(
+                jnp.asarray(x), (3, ho, wo), method="bilinear", antialias=aa))
+            got = np.asarray(resize_bilinear_hw(jnp.asarray(x), (ho, wo),
+                                                antialias=aa))
+            np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_resize_matmul_hwc_and_identity(rng):
+    import jax
+
+    from thermal3d.preprocess.resize import (resize_bilinear_hw,
+                                             resize_bilinear_hwc)
+
+    x = rng.uniform(0, 1, (2, 64, 48, 3)).astype(np.float32)
+    ref = np.asarray(jax.image.resize(jnp.asarray(x), (2, 24, 24, 3),
+                                      method="bilinear", antialias=False))
+    got = np.asarray(resize_bilinear_hwc(jnp.asarray(x), (24, 24)))
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+    # no-op resize returns the input unchanged
+    same = resize_bilinear_hw(jnp.asarray(x[..., 0]), (64, 48))
+    np.testing.assert_array_equal(np.asarray(same), x[..., 0])

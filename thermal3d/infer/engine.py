@@ -21,6 +21,7 @@ from thermal3d.core.config import DUSTR_224_LINEAR, DustrModelConfig
 from thermal3d.models.dustr import AsymmetricCroCo3DStereo
 from thermal3d.models.thermal_wrap import ThermalPreprocessHead
 from thermal3d.preprocess.enhance import enhance_thermal_contrast, rgb_to_gray
+from thermal3d.preprocess.resize import resize_bilinear_hw
 
 
 class InferenceEngine:
@@ -105,8 +106,7 @@ class InferenceEngine:
     @functools.partial(jax.jit, static_argnums=(0,))
     def _preprocess(self, grays: jnp.ndarray) -> jnp.ndarray:
         """[B, h, w] decoded grayscale (any scale) → enhanced [B, H, W, 3]."""
-        b = grays.shape[0]
-        resized = jax.image.resize(grays, (b, *self.config.img_size), method="bilinear", antialias=False)
+        resized = resize_bilinear_hw(grays, self.config.img_size)
         return enhance_thermal_contrast(resized)
 
     def infer(self, img1: np.ndarray, img2: Optional[np.ndarray] = None,

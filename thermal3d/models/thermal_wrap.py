@@ -3,9 +3,9 @@
 Re-implements the reference wrapper (thermal_dustr_model.py:86-161): per-image
 min/max normalization over (H, W), depthwise Sobel edge magnitude, and
 `clamp((x + edge_weight·edges) · temp_scale, 0, 1)` with LEARNABLE edge_weight
-(init 0.5) and temp_scale (init 1.0). The Sobel stencil is a fixed 3×3
-depthwise convolution — a few fused VPU ops under jit, so no separate kernel
-is warranted.
+(init 0.5) and temp_scale (init 1.0). The Sobel op is computed in separable
+stencil form (padded slices, fully fusable VPU arithmetic) rather than the
+reference's grouped conv, which XLA maps poorly at C=3 on TPU.
 """
 
 from __future__ import annotations
@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from thermal3d.core.config import DustrModelConfig
@@ -27,21 +26,18 @@ def sobel_edge_magnitude(x: jnp.ndarray) -> jnp.ndarray:
     """Depthwise |Sobel| magnitude. x: [B, H, W, C] → same shape.
 
     Matches torch conv2d(groups=C, padding=1) with the fixed kernels at
-    thermal_dustr_model.py:96-101 (zero padding, cross-correlation).
+    thermal_dustr_model.py:96-101 (zero padding, cross-correlation), computed
+    as the separable 3-tap stencils (Gx = smooth[1,2,1]ᵀ ⊗ diff[-1,0,1],
+    Gy transposed) over padded slices — pure fusable VPU arithmetic. XLA maps
+    a feature_group_count=3 conv poorly on TPU; the stencil form measured ~3×
+    faster in the serving preprocess (scripts/preproc_breakdown.py), with
+    equality to the conv form unit-tested (tests/test_models.py).
     """
-    c = x.shape[-1]
-    # depthwise kernels: [kh, kw, 1, C] with feature_group_count=C
-    kx = jnp.tile(SOBEL_X[:, :, None, None], (1, 1, 1, c)).astype(x.dtype)
-    ky = jnp.tile(SOBEL_Y[:, :, None, None], (1, 1, 1, c)).astype(x.dtype)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kx.shape, ("NHWC", "HWIO", "NHWC"))
-    ex = jnp.abs(
-        jax.lax.conv_general_dilated(x, kx, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
-                                     feature_group_count=c)
-    )
-    ey = jnp.abs(
-        jax.lax.conv_general_dilated(x, ky, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
-                                     feature_group_count=c)
-    )
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    vs = xp[:, :-2] + 2.0 * xp[:, 1:-1] + xp[:, 2:]  # rows smoothed  [B,H,W+2,C]
+    vd = xp[:, 2:] - xp[:, :-2]                      # rows differenced
+    ex = vs[:, :, 2:] - vs[:, :, :-2]                # → Gx  [B,H,W,C]
+    ey = vd[:, :, :-2] + 2.0 * vd[:, :, 1:-1] + vd[:, :, 2:]  # → Gy
     return jnp.sqrt(ex * ex + ey * ey)
 
 

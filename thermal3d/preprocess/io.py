@@ -33,6 +33,7 @@ except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
 from thermal3d.preprocess.enhance import enhance_thermal_contrast
+from thermal3d.preprocess.resize import resize_bilinear_hw
 
 
 def _imread_anydepth(path: str) -> Optional[np.ndarray]:
@@ -155,7 +156,7 @@ def load_rgb_image(path: str) -> Optional[np.ndarray]:
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def _resize_enhance(gray: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Device-side: bilinear resize + percentile contrast → [H, W, 3]."""
-    resized = jax.image.resize(gray, out_hw, method="bilinear", antialias=False)
+    resized = resize_bilinear_hw(gray, out_hw)
     return enhance_thermal_contrast(resized)
 
 
@@ -185,6 +186,5 @@ def preprocess_thermal_batch(paths, img_size: Tuple[int, int] = (224, 224)) -> n
 
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def _batched_resize_enhance(grays: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    b = grays.shape[0]
-    resized = jax.image.resize(grays, (b, *out_hw), method="bilinear", antialias=False)
+    resized = resize_bilinear_hw(grays, out_hw)
     return enhance_thermal_contrast(resized)

@@ -1,0 +1,80 @@
+"""Matmul-based bilinear resize — exact, MXU-friendly.
+
+`jax.image.resize(method='bilinear')` is linear in the image and separable
+per axis, so resampling each spatial axis is multiplication by a fixed
+[n_in, n_out] matrix. On TPU those two small GEMMs measured ~3-9× faster
+than jax.image.resize's formulation at the serving shapes
+(scripts/preproc_breakdown.py: [32,320,416]→[32,224,224]). Numerics match
+jax.image.resize to f32 rounding (max |Δ| ~1e-5: the GEMM accumulates the
+same taps in a different order) because the matrices are extracted from
+jax.image.resize itself — applied to an identity image — rather than
+re-derived from its sampling convention, and applied at HIGHEST matmul
+precision (the same precision jax.image.resize uses internally).
+
+This is the device-side resize for every hot path: the inference engine's
+preprocess, the batched io helpers, bench.py, and the train step's in-graph
+512²→224 pseudo-GT resize (reference behavior: cv2.resize / F.interpolate —
+thermal_dustr_inference.py:25-60, train_thermal_dustr.py:234-271).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_matrix(n_in: int, n_out: int, antialias: bool):
+    """[n_in, n_out] resampling matrix, extracted from jax.image.resize by
+    resizing an identity image along one axis (computed once on CPU)."""
+    if n_in == n_out:
+        return None
+    cpu = jax.local_devices(backend="cpu")[0]
+    # ensure_compile_time_eval: callers sit inside jit traces (engine step,
+    # bench chain, train step) — the extraction must run EAGERLY at trace
+    # time, on host CPU, and be baked in as a constant.
+    with jax.ensure_compile_time_eval(), jax.default_device(cpu):
+        eye = jnp.eye(n_in, dtype=jnp.float32)
+        m = jax.image.resize(eye, (n_out, n_in), method="bilinear",
+                             antialias=antialias)
+        return np.asarray(m).T.copy()
+
+
+def resize_bilinear_hw(x: jnp.ndarray, out_hw: Tuple[int, int],
+                       antialias: bool = False) -> jnp.ndarray:
+    """Resize the TRAILING two axes: [..., H, W] → [..., H', W']."""
+    h, w = x.shape[-2:]
+    oh, ow = out_hw
+    mh = _axis_matrix(h, oh, antialias)
+    mw = _axis_matrix(w, ow, antialias)
+    dt = x.dtype
+    y = x.astype(jnp.float32)
+    if mh is not None:
+        y = jnp.einsum("...yx,yh->...hx", y, jnp.asarray(mh),
+                       precision=jax.lax.Precision.HIGHEST)
+    if mw is not None:
+        y = jnp.einsum("...hx,xw->...hw", y, jnp.asarray(mw),
+                       precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dt)
+
+
+def resize_bilinear_hwc(x: jnp.ndarray, out_hw: Tuple[int, int],
+                        antialias: bool = False) -> jnp.ndarray:
+    """Resize the two axes BEFORE a trailing channel: [..., H, W, C]."""
+    h, w = x.shape[-3:-1]
+    oh, ow = out_hw
+    mh = _axis_matrix(h, oh, antialias)
+    mw = _axis_matrix(w, ow, antialias)
+    dt = x.dtype
+    y = x.astype(jnp.float32)
+    if mh is not None:
+        y = jnp.einsum("...yxc,yh->...hxc", y, jnp.asarray(mh),
+                       precision=jax.lax.Precision.HIGHEST)
+    if mw is not None:
+        y = jnp.einsum("...hxc,xw->...hwc", y, jnp.asarray(mw),
+                       precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dt)

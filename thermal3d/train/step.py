@@ -36,15 +36,16 @@ from thermal3d.losses.losses import (
     enhanced_thermal_aware_loss,
 )
 from thermal3d.preprocess.enhance import enhance_thermal_contrast, rgb_to_gray
+from thermal3d.preprocess.resize import resize_bilinear_hw, resize_bilinear_hwc
 
 
 def _resize_gt_to(pred_hw: Tuple[int, int], gt: jnp.ndarray) -> jnp.ndarray:
     """Bilinear-resize batched GT ([B,Hg,Wg,C] or [B,Hg,Wg]) to pred res."""
-    b = gt.shape[0]
     if gt.shape[1:3] == pred_hw:
         return gt
-    out_shape = (b, *pred_hw) + gt.shape[3:]
-    return jax.image.resize(gt, out_shape, method="bilinear", antialias=False)
+    if gt.ndim == 4:
+        return resize_bilinear_hwc(gt, pred_hw)
+    return resize_bilinear_hw(gt, pred_hw)
 
 
 def _batch_loss(pred1, pred2, batch, pred_hw, cfg: TrainConfig):
