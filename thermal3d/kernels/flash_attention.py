@@ -687,12 +687,32 @@ def attention_bshd(
     # of bf16 products, and it halves the dominant softmax HBM traffic
     # (531 → 598 fps end-to-end, docs/PERF.md). Softmax statistics stay f32.
     # f32 inputs (parity/tests) keep f32 scores; impl flags force either way.
-    bf16_scores = impl == "xla_bf16_scores" or (
+    bf16_scores = impl in ("xla_bf16_scores", "xla_postscale", "xla_nomax") or (
         impl != "xla_f32_scores" and q.dtype == jnp.bfloat16)
+    # Deferred normalization is the DEFAULT on the bf16 path (646.9 → 656.0
+    # fps end-to-end, docs/PERF.md); 'xla_bf16_scores' forces the legacy
+    # pre-divided formulation for comparison.
+    postscale = bf16_scores and impl != "xla_bf16_scores"
     if bf16_scores:
         scores = scores.astype(jnp.bfloat16)
-        m = jnp.max(scores.astype(jnp.float32), axis=-1, keepdims=True)
-        p = jnp.exp(scores.astype(jnp.float32) - m)
+        if impl == "xla_nomax":
+            # measurement-only variant: skip the max pass (unsafe if logits
+            # can exceed ~88; LN'd q/k keep them far below in practice)
+            p = jnp.exp(scores.astype(jnp.float32))
+        else:
+            m = jnp.max(scores.astype(jnp.float32), axis=-1, keepdims=True)
+            p = jnp.exp(scores.astype(jnp.float32) - m)
+        if postscale:
+            # Defer the softmax normalization past the PV matmul: dividing p
+            # is a full [B,H,S,S] read+write pass, while scaling the output
+            # rows touches only [B,S,H,D] (S/D ≈ 3× less HBM at S=196).
+            # exp(x−m) ≤ 1 so unnormalized p is representable in bf16; the
+            # PV matmul accumulates f32 and the row scale happens there —
+            # numerics differ from pre-division only by final rounding.
+            s = jnp.sum(p, axis=-1)  # [B, H, Sq] f32 (same fusion as exp)
+            out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            return (out / s.transpose(0, 2, 1)[..., None]).astype(q.dtype)
         p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
     else:
         p = jax.nn.softmax(scores, axis=-1).astype(v.dtype)

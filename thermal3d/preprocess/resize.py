@@ -4,12 +4,20 @@
 per axis, so resampling each spatial axis is multiplication by a fixed
 [n_in, n_out] matrix. On TPU those two small GEMMs measured ~3-9× faster
 than jax.image.resize's formulation at the serving shapes
-(scripts/preproc_breakdown.py: [32,320,416]→[32,224,224]). Numerics match
-jax.image.resize to f32 rounding (max |Δ| ~1e-5: the GEMM accumulates the
-same taps in a different order) because the matrices are extracted from
-jax.image.resize itself — applied to an identity image — rather than
-re-derived from its sampling convention, and applied at HIGHEST matmul
-precision (the same precision jax.image.resize uses internally).
+(scripts/preproc_breakdown.py: [32,320,416]→[32,224,224]). The matrices
+are extracted from jax.image.resize itself — applied to an identity
+image — rather than re-derived from its sampling convention, so the only
+deviation is MXU rounding. Measured at the serving shape (v5e, batch 32):
+
+    precision   us/iter   max|Δ| vs jax.image.resize
+    DEFAULT        16.1    3.9e-3   (bf16 operand rounding)
+    HIGH           60.8    4.8e-5   (bf16_3x passes)  ← library default
+    HIGHEST       120.5    1.3e-5   (f32; slower than jax.image's 100.3)
+
+HIGH is the default: 1.6× faster than jax.image.resize with error at the
+same order as the accepted Pallas percentile tolerance (4.5e-5, docs/
+PERF.md), far below the 1% parity bar. Pass precision=HIGHEST where exact
+f32 numerics matter more than speed.
 
 This is the device-side resize for every hot path: the inference engine's
 preprocess, the batched io helpers, bench.py, and the train step's in-graph
@@ -45,7 +53,8 @@ def _axis_matrix(n_in: int, n_out: int, antialias: bool):
 
 
 def resize_bilinear_hw(x: jnp.ndarray, out_hw: Tuple[int, int],
-                       antialias: bool = False) -> jnp.ndarray:
+                       antialias: bool = False,
+                       precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
     """Resize the TRAILING two axes: [..., H, W] → [..., H', W']."""
     h, w = x.shape[-2:]
     oh, ow = out_hw
@@ -55,15 +64,16 @@ def resize_bilinear_hw(x: jnp.ndarray, out_hw: Tuple[int, int],
     y = x.astype(jnp.float32)
     if mh is not None:
         y = jnp.einsum("...yx,yh->...hx", y, jnp.asarray(mh),
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=precision)
     if mw is not None:
         y = jnp.einsum("...hx,xw->...hw", y, jnp.asarray(mw),
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=precision)
     return y.astype(dt)
 
 
 def resize_bilinear_hwc(x: jnp.ndarray, out_hw: Tuple[int, int],
-                        antialias: bool = False) -> jnp.ndarray:
+                        antialias: bool = False,
+                        precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
     """Resize the two axes BEFORE a trailing channel: [..., H, W, C]."""
     h, w = x.shape[-3:-1]
     oh, ow = out_hw
@@ -73,8 +83,8 @@ def resize_bilinear_hwc(x: jnp.ndarray, out_hw: Tuple[int, int],
     y = x.astype(jnp.float32)
     if mh is not None:
         y = jnp.einsum("...yxc,yh->...hxc", y, jnp.asarray(mh),
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=precision)
     if mw is not None:
         y = jnp.einsum("...hxc,xw->...hwc", y, jnp.asarray(mw),
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=precision)
     return y.astype(dt)
