@@ -280,6 +280,12 @@ def main():
     elif "--attn-fast" in sys.argv:
         attn = "xla_bf16_scores"
 
+    if use_int8 and attn == "auto":
+        # postscale softmax (bf16 'auto' default) breaks the int8 dynamic-
+        # quant fusion of the next projection: 633 vs 750 fps measured
+        # (docs/PERF.md round 3) — int8 pins the pre-divided form, matching
+        # InferenceEngine's dispatch.
+        attn = "xla_bf16_scores"
     config = dataclasses.replace(DUSTR_224_LINEAR, compute_dtype="bfloat16",
                                  attention_impl=attn)
     model = AsymmetricCroCo3DStereo(config)

@@ -110,6 +110,17 @@ def main():
     for name, ms in rows:
         print(f"{ms/iters:8.3f} ms/step  x{cnt[name]//iters:<4d} {name[:110]}")
 
+    # family view: aggregate instances that differ only by a trailing .N
+    fam_ms, fam_n = defaultdict(float), defaultdict(int)
+    for name, ms in agg.items():
+        base, _, suf = name.rpartition(".")
+        fam = base if suf.isdigit() and base else name
+        fam_ms[fam] += ms
+        fam_n[fam] += cnt[name]
+    print("\nby fusion family:")
+    for name, ms in sorted(fam_ms.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{ms/iters:8.3f} ms/step  x{fam_n[name]//iters:<4d} {name[:110]}")
+
 
 if __name__ == "__main__":
     main()

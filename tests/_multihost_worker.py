@@ -70,7 +70,20 @@ def run_one_step() -> float:
     batch = shard_batch_multihost(mesh, local)
 
     step = make_train_step(model, cfg, mesh)
-    state, metrics = step(state, batch)
+    if jax.process_count() > 1:
+        # Compile is host-local and can take minutes on a loaded 1-core CI
+        # host; Gloo's first-collective rendezvous times out at a hardcoded
+        # 30 s. AOT-compile first, then line both processes up at a
+        # coordination-service barrier (long timeout) so the Gloo context
+        # init only ever sees millisecond execution skew.
+        from jax._src.distributed import global_state
+
+        compiled = step.lower(state, batch).compile()
+        global_state.client.wait_at_barrier(
+            "t3d_multihost_compiled", timeout_in_ms=600_000)
+        state, metrics = compiled(state, batch)
+    else:
+        state, metrics = step(state, batch)
     return float(metrics["loss"])
 
 

@@ -10,6 +10,7 @@ over a batch, bf16 on the MXU with f32 heads, Pallas fused attention.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, List, Optional
 
@@ -45,6 +46,14 @@ class InferenceEngine:
         int8_skip: tuple = (),
         int8_only: tuple = (),
     ):
+        if quantize_int8 and config.attention_impl == "auto":
+            # Deferred softmax normalization (the bf16 'auto' default) breaks
+            # the fusion of the post-PV division into the NEXT projection's
+            # dynamic int8 quantization pass: measured 633 vs 750 fps with
+            # the pre-divided form (docs/PERF.md round 3), so int8 serving
+            # pins the legacy formulation.
+            config = dataclasses.replace(config,
+                                         attention_impl="xla_bf16_scores")
         self.config = config
         self.model = AsymmetricCroCo3DStereo(config)
         h, w = config.img_size

@@ -687,19 +687,31 @@ def attention_bshd(
     # of bf16 products, and it halves the dominant softmax HBM traffic
     # (531 → 598 fps end-to-end, docs/PERF.md). Softmax statistics stay f32.
     # f32 inputs (parity/tests) keep f32 scores; impl flags force either way.
-    bf16_scores = impl in ("xla_bf16_scores", "xla_postscale", "xla_nomax") or (
+    bf16_scores = impl in ("xla_bf16_scores", "xla_postscale", "xla_nomax",
+                           "xla_fusedmax") or (
         impl != "xla_f32_scores" and q.dtype == jnp.bfloat16)
     # Deferred normalization is the DEFAULT on the bf16 path (646.9 → 656.0
     # fps end-to-end, docs/PERF.md); 'xla_bf16_scores' forces the legacy
     # pre-divided formulation for comparison.
     postscale = bf16_scores and impl != "xla_bf16_scores"
     if bf16_scores:
-        scores = scores.astype(jnp.bfloat16)
-        if impl == "xla_nomax":
+        if impl == "xla_fusedmax":
+            # Take the row max of the PRE-cast f32 scores: the reduce then
+            # joins the multi-output fusion that writes the bf16 score
+            # tensor, instead of being a standalone full re-read pass over
+            # [B,H,S,S] (the `convert_reduce_fusion`s in the profile).
+            # Numerically still a valid stabilizer: exp(x_bf16 − m_f32) ≤
+            # exp(half a bf16 ulp) ≈ 1.004.
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            scores = scores.astype(jnp.bfloat16)
+            p = jnp.exp(scores.astype(jnp.float32) - m)
+        elif impl == "xla_nomax":
             # measurement-only variant: skip the max pass (unsafe if logits
             # can exceed ~88; LN'd q/k keep them far below in practice)
+            scores = scores.astype(jnp.bfloat16)
             p = jnp.exp(scores.astype(jnp.float32))
         else:
+            scores = scores.astype(jnp.bfloat16)
             m = jnp.max(scores.astype(jnp.float32), axis=-1, keepdims=True)
             p = jnp.exp(scores.astype(jnp.float32) - m)
         if postscale:

@@ -108,11 +108,17 @@ class Attention(nn.Module):
             out = fused_rope_attention(qkv, cos, sin, self.num_heads,
                                        1.0 / math.sqrt(hd), g)
             return QuantDense(c, dtype=self.dtype, name="proj")(out)
-        qkv = qkv.reshape(b, s, 3, self.num_heads, hd)
+        # Split the packed projection along the LAST axis (contiguous slices
+        # XLA fuses into the RoPE/attention consumers) instead of a
+        # reshape(b,s,3,h,hd)+index, whose intermediate layout materialized
+        # as pure copy time in profiles (docs/PERF.md round 3).
         # transpose-free [B, S, H, hd] layout end-to-end
-        q = apply_rope_2d_bshd(qkv[:, :, 0], pos, self.rope_base)
-        k = apply_rope_2d_bshd(qkv[:, :, 1], pos, self.rope_base)
-        out = attention_bshd(q, k, qkv[:, :, 2], impl=impl)
+        q = qkv[..., :c].reshape(b, s, self.num_heads, hd)
+        k = qkv[..., c:2 * c].reshape(b, s, self.num_heads, hd)
+        v = qkv[..., 2 * c:].reshape(b, s, self.num_heads, hd)
+        q = apply_rope_2d_bshd(q, pos, self.rope_base)
+        k = apply_rope_2d_bshd(k, pos, self.rope_base)
+        out = attention_bshd(q, k, v, impl=impl)
         return QuantDense(c, dtype=self.dtype, name="proj")(out.reshape(b, s, c))
 
 
