@@ -53,6 +53,32 @@ def build_step(batch, attn="auto"):
     return step, params, head_params, raw0
 
 
+def build_train_step(batch):
+    """bench.py --train equivalent: one jitted train step (two-view fwd +
+    enhanced loss vs in-graph-resized 512² GT + bwd + clip/AdamW)."""
+    from thermal3d.core.config import DUSTR_224_LINEAR, TrainConfig
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+    from thermal3d.train.state import create_train_state
+    from thermal3d.train.step import make_train_step
+
+    config = dataclasses.replace(DUSTR_224_LINEAR, compute_dtype="bfloat16")
+    model = AsymmetricCroCo3DStereo(config)
+    cfg = TrainConfig(batch_size=batch, use_enhanced_loss=True)
+    h, w = config.img_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, dummy, dummy))(jax.random.key(0))["params"]
+    state = create_train_state(model, params, cfg, steps_per_epoch=1000)
+    step = make_train_step(model, cfg, mesh=None)
+    ks = jax.random.split(jax.random.key(1), 4)
+    batch_data = {
+        "thermal1": jax.random.uniform(ks[0], (batch, h, w, 3), minval=21000., maxval=26000.),
+        "thermal2": jax.random.uniform(ks[1], (batch, h, w, 3), minval=21000., maxval=26000.),
+        "pointmap1": jax.random.uniform(ks[2], (batch, 512, 512, 3), minval=0.1, maxval=5.),
+        "pointmap2": jax.random.uniform(ks[3], (batch, 512, 512, 3), minval=0.1, maxval=5.),
+    }
+    return step, state, batch_data
+
+
 def parse_trace(logdir, iters):
     paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                       recursive=True)
@@ -75,8 +101,8 @@ def parse_trace(logdir, iters):
             continue
         name = ev.get("name", "?")
         dur = ev.get("dur", 0) / 1e3  # us → ms
-        # skip track-level wrappers
-        if name.startswith(("XLA Modules", "XLA Ops", "Steps")):
+        # skip track-level wrappers and per-iteration step markers ("0".."N")
+        if name.startswith(("XLA Modules", "XLA Ops", "Steps")) or name.isdigit():
             continue
         agg[name] += dur
         cnt[name] += 1
@@ -86,11 +112,23 @@ def parse_trace(logdir, iters):
 
 def main():
     enable_compilation_cache()
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    attn = sys.argv[3] if len(sys.argv) > 3 else "auto"
-    print("backend:", jax.default_backend(), "attn:", attn)
-    step, params, head_params, raw = build_step(batch, attn)
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(pos[0]) if len(pos) > 0 else 32
+    iters = int(pos[1]) if len(pos) > 1 else 5
+    attn = pos[2] if len(pos) > 2 else "auto"
+    train = "--train" in sys.argv
+    print("backend:", jax.default_backend(), "attn:", attn, "train:", train)
+    if train:
+        tstep, state, batch_data = build_train_step(batch)
+
+        def step(*_):
+            nonlocal state
+            state, metrics = tstep(state, batch_data)
+            return metrics["loss"]
+
+        params = head_params = raw = None
+    else:
+        step, params, head_params, raw = build_step(batch, attn)
     out = step(params, head_params, raw)
     out.block_until_ready()
 
