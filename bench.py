@@ -52,7 +52,8 @@ def bench_train(batch: int, n_iters: int, remat: bool):
     config = dataclasses.replace(DUSTR_224_LINEAR, compute_dtype="bfloat16",
                                  remat=remat)
     model = AsymmetricCroCo3DStereo(config)
-    cfg = TrainConfig(batch_size=batch, use_enhanced_loss=True)
+    cfg = TrainConfig(batch_size=batch, use_enhanced_loss=True,
+                      flatten_optimizer="--flatten-opt" in sys.argv)
     h, w = config.img_size
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
     params = jax.jit(lambda k: model.init(k, dummy, dummy))(jax.random.key(0))["params"]

@@ -104,6 +104,29 @@ def test_basic_loss_mode(tiny_config, rng, cpu_devices):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_flatten_optimizer_matches_per_leaf(tiny_config, rng, cpu_devices):
+    """flatten_optimizer=True (one flat-vector AdamW) must track the
+    per-leaf update: identical math up to f32 reduction order in the
+    global-norm clip."""
+    mesh = make_mesh((-1,), ("data",), devices=cpu_devices)
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    params = model.init(jax.random.key(0), img, img)["params"]
+    batch = shard_batch(mesh, _tiny_batch(rng))
+    losses = {}
+    for flat in (False, True):
+        cfg = TrainConfig(lr=1e-3, flatten_optimizer=flat)
+        # fresh copies: the jitted step donates the state, which would
+        # delete the shared init arrays between configs
+        p = jax.tree_util.tree_map(jnp.array, params)
+        state = create_train_state(model, p, cfg, steps_per_epoch=10)
+        step = make_train_step(model, cfg, mesh)
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        losses[flat] = float(metrics["loss"])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
 def test_grad_accumulation(tiny_config, rng):
     """accumulation_steps>1 is real here (dead flag in the reference)."""
     model = AsymmetricCroCo3DStereo(tiny_config)

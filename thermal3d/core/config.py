@@ -183,6 +183,10 @@ class TrainConfig:
     grad_clip_norm: float = 1.0  # train:361
     early_stop_patience: int = 10  # train:124
     accumulation_steps: int = 1
+    # run AdamW over ONE flat parameter vector (optax.flatten) instead of
+    # ~600 per-leaf updates — trades a grad concat/unflatten for the
+    # small-op overhead the train profile shows (docs/PERF.md round 3)
+    flatten_optimizer: bool = False
     use_enhanced_loss: bool = True
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     seed: int = 0

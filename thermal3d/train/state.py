@@ -53,6 +53,10 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTran
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=cfg.weight_decay),
     )
+    if getattr(cfg, "flatten_optimizer", False):
+        # one flat-vector AdamW instead of ~600 per-leaf updates; numerics
+        # identical up to f32 reduction order in the global-norm clip
+        tx = optax.flatten(tx)
     if cfg.accumulation_steps > 1:
         # real gradient accumulation — the reference parses the flag but never
         # uses it (train:50-51; SURVEY §2.3)
