@@ -21,6 +21,21 @@ def thermal_dir(tmp_path, rng):
     return tmp_path, paths
 
 
+def test_int8_engine_pins_predivided_softmax(tiny_config):
+    """quantize_int8 must force attention_impl='xla_bf16_scores' when the
+    config asks 'auto' — the postscale default regresses int8 (633 vs 750
+    fps, docs/PERF.md round 3) — and must leave explicit impls alone."""
+    import dataclasses
+
+    eng = InferenceEngine(tiny_config, quantize_int8=True)
+    assert eng.config.attention_impl == "xla_bf16_scores"
+    forced = dataclasses.replace(tiny_config, attention_impl="xla")
+    eng2 = InferenceEngine(forced, quantize_int8=True)
+    assert eng2.config.attention_impl == "xla"
+    eng3 = InferenceEngine(tiny_config)
+    assert eng3.config.attention_impl == "auto"
+
+
 def test_infer_paths_returns_surviving_paths(thermal_dir, tiny_config):
     tmp_path, paths = thermal_dir
     bad = tmp_path / "frame_2b.png"
