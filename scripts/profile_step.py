@@ -144,7 +144,7 @@ def main():
     print(f"trace: {path}")
     print(f"total device time: {total:.1f} ms over {iters} iters "
           f"({total/iters:.2f} ms/step)")
-    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:30]
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:60]
     for name, ms in rows:
         print(f"{ms/iters:8.3f} ms/step  x{cnt[name]//iters:<4d} {name[:110]}")
 

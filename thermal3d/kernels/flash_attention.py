@@ -680,6 +680,19 @@ def attention_bshd(
             scale=scale, impl=impl,
         )
         return out.transpose(0, 2, 1, 3)
+    if impl == "xla_bqhk":
+        # layout experiment: keep the head axis inboard of the sequence axes
+        # end-to-end (scores [B,Q,H,K]) so operands stay in the projection's
+        # natural [B,S,H,D] layout
+        scores = jnp.einsum("bqhd,bkhd->bqhk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        scores = scores.astype(jnp.bfloat16) if q.dtype == jnp.bfloat16 else scores
+        m = jnp.max(scores.astype(jnp.float32), axis=-1, keepdims=True)
+        p = jnp.exp(scores.astype(jnp.float32) - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.einsum("bqhk,bkhd->bqhd", p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        return (out / s).astype(q.dtype)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     # Materialize the (B,H,S,S) score tensor in bf16 when the network already
