@@ -117,7 +117,7 @@ def test_bf16_scores_path_close_to_f32(rng):
     assert np.abs(fast - exact).mean() < 3e-3
     # deferred-normalization variants (divide after PV instead of over the
     # S² probability tensor) must agree with the pre-divided bf16 path
-    for impl in ("xla_postscale", "xla_nomax", "xla_fusedmax"):
+    for impl in ("xla_postscale", "xla_nomax", "xla_fusedmax", "xla_bqhk"):
         post = np.asarray(attention_bshd(q, k, v, impl=impl))
         assert np.abs(post - exact).max() < 2e-2
         assert np.abs(post - fast).max() < 1e-2
@@ -321,6 +321,52 @@ def test_cross_attention_fused_grad(rng):
     for a, b_ in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3,
                                    rtol=1e-3)
+
+
+def test_fused_bwd_bf16_storage_close_to_f32(rng):
+    """In bf16 networks the shared backward core stores the S² intermediates
+    in bf16 (halving backward HBM at S=1024); grads must stay within bf16
+    rounding of the full-f32 closed form, for both the packed self-attn and
+    the separate-q/k/v cross-attn VJPs (the latter no longer concatenates
+    its residuals — ADVICE round-2 item)."""
+    import math
+
+    from thermal3d.kernels.flash_attention import (
+        fused_rope_attention,
+        fused_rope_cross_attention,
+    )
+    from thermal3d.models.rope import make_grid_positions, rope_tables
+
+    b, h_g, w_g, nh, d = 1, 4, 4, 2, 8
+    s, c = h_g * w_g, nh * d
+    pos = make_grid_positions(h_g, w_g)
+    cos, sin = rope_tables(pos, d, 100.0)
+    scale = 1.0 / math.sqrt(d)
+
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * c)), jnp.float32)
+
+    def loss_self(x):
+        return jnp.sum(fused_rope_attention(x, cos, sin, nh, scale, 2, True) ** 2)
+
+    g32 = np.asarray(jax.grad(loss_self)(qkv), np.float32)
+    g16 = np.asarray(jax.grad(loss_self)(qkv.astype(jnp.bfloat16)), np.float32)
+    np.testing.assert_allclose(g16, g32, atol=0.15, rtol=0.1)
+
+    q, k, v = (jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+               for _ in range(3))
+
+    def loss_x(q, k, v):
+        return jnp.sum(fused_rope_cross_attention(q, k, v, cos, sin, nh,
+                                                  scale, 2, True) ** 2)
+
+    gx32 = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    gx16 = jax.grad(loss_x, argnums=(0, 1, 2))(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
+    for a, b_ in zip(gx16, gx32):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=0.15, rtol=0.1)
 
 
 def test_fused_auto_dispatch_policy():

@@ -490,11 +490,14 @@ def _xattn_bwd(num_heads, scale, group, interpret, batch_block, res, g_out):
     q, k, v, cos, sin = res
     b, s, c = q.shape
     d = c // num_heads
-    qkv = jnp.concatenate([q, k, v], axis=-1)
-    dqkv, dcos, dsin = _fused_bwd(num_heads, scale, group, interpret, 1,
-                                  (qkv, cos, sin), g_out)
-    return (dqkv[:, :, :c], dqkv[:, :, c:2 * c], dqkv[:, :, 2 * c:],
-            dcos, dsin)
+    dq, dk, dv = _rope_attn_bwd_core(
+        q.reshape(b, s, num_heads, d), k.reshape(b, s, num_heads, d),
+        v.reshape(b, s, num_heads, d), g_out.reshape(b, s, num_heads, d),
+        cos, sin, scale)
+    return (dq.reshape(b, s, c).astype(q.dtype),
+            dk.reshape(b, s, c).astype(k.dtype),
+            dv.reshape(b, s, c).astype(v.dtype),
+            jnp.zeros_like(cos), jnp.zeros_like(sin))
 
 
 fused_rope_cross_attention.defvjp(_xattn_fwd, _xattn_bwd)
@@ -516,27 +519,22 @@ def _fused_fwd(qkv, cos, sin, num_heads, scale, group, interpret, batch_block):
                                  interpret, batch_block), (qkv, cos, sin))
 
 
-def _fused_bwd(num_heads, scale, group, interpret, batch_block, res, g_out):
-    """Closed-form backward in plain jnp (f32): recompute roped q/k, standard
-    attention VJP, then the rope transpose (R^T = -R).
+def _rope_attn_bwd_core(q, k, v, g_out, cos, sin, scale):
+    """Closed-form RoPE+attention VJP shared by the packed and cross-attn
+    fused kernels: recompute roped q/k, standard attention VJP, then the
+    rope transpose (R^T = -R). Inputs/grad are [B, S, H, D]; returns
+    (dq, dk, dv) in [B, S, H, D] f32.
 
-    Memory note: this materializes full f32 [B,H,S,S] score/probability
-    intermediates (and _xattn_bwd additionally concatenates q/k/v into a
-    fresh [B,S,3C] buffer), which at MASt3R-512 training shapes (S=1024)
-    costs hundreds of MB of HBM per block — partially offsetting the forward
-    kernel's residual-memory savings when 'auto' routes training through the
-    fused path. If 512-training memory gets tight: compute the cross-attn
-    VJP directly on the separate q/k/v residuals (skip the concatenate) and
-    recompute scores in bf16 here.
+    Memory: the [B,H,S,S] score/probability intermediates are STORED in the
+    input dtype (bf16 in bf16 networks — halves backward HBM at the
+    MASt3R-512 training shapes, where each f32 S² tensor is 100s of MB per
+    block) while every einsum accumulates in f32 and the softmax statistics
+    stay f32. f32 inputs keep full-f32 intermediates, so the autodiff-parity
+    tests see the exact closed form.
     """
-    qkv, cos, sin = res
-    b, s, three_c = qkv.shape
-    c = three_c // 3
-    d = c // num_heads
-    qf = qkv[:, :, :c].reshape(b, s, num_heads, d).astype(jnp.float32)
-    kf = qkv[:, :, c:2 * c].reshape(b, s, num_heads, d).astype(jnp.float32)
-    vf = qkv[:, :, 2 * c:].reshape(b, s, num_heads, d).astype(jnp.float32)
-    gf = g_out.reshape(b, s, num_heads, d).astype(jnp.float32)
+    b, s, num_heads, d = q.shape
+    sdtype = q.dtype if q.dtype == jnp.bfloat16 else jnp.float32
+    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g_out))
     cb = cos[None, :, None, :]
     sb = sin[None, :, None, :]
 
@@ -548,16 +546,38 @@ def _fused_bwd(num_heads, scale, group, interpret, batch_block, res, g_out):
 
     qr = qf * cb + rot(qf) * sb
     kr = kf * cb + rot(kf) * sb
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qr, kr) * scale
-    p = jax.nn.softmax(scores, axis=-1)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dqr = jnp.einsum("bhqk,bkhd->bqhd", ds, kr) * scale
-    dkr = jnp.einsum("bhqk,bqhd->bkhd", ds, qr) * scale
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qr.astype(sdtype), kr.astype(sdtype),
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(scores, axis=-1).astype(sdtype)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf.astype(sdtype),
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf.astype(sdtype), vf.astype(sdtype),
+                    preferred_element_type=jnp.float32).astype(sdtype)
+    # rowsum(dp ∘ p) in f32 without materializing the f32 product
+    rowcorr = jnp.einsum("bhqk,bhqk->bhq", dp, p,
+                         preferred_element_type=jnp.float32)
+    ds = (p.astype(jnp.float32)
+          * (dp.astype(jnp.float32) - rowcorr[..., None])).astype(sdtype)
+    dqr = jnp.einsum("bhqk,bkhd->bqhd", ds, kr.astype(sdtype),
+                     preferred_element_type=jnp.float32) * scale
+    dkr = jnp.einsum("bhqk,bqhd->bkhd", ds, qr.astype(sdtype),
+                     preferred_element_type=jnp.float32) * scale
     # qr = q*cos + R(q)*sin  ⇒  dq = dqr*cos + Rᵀ(dqr*sin),  Rᵀ = -R
     dq = dqr * cb - rot(dqr * sb)
     dk = dkr * cb - rot(dkr * sb)
+    return dq, dk, dv
+
+
+def _fused_bwd(num_heads, scale, group, interpret, batch_block, res, g_out):
+    qkv, cos, sin = res
+    b, s, three_c = qkv.shape
+    c = three_c // 3
+    d = c // num_heads
+    dq, dk, dv = _rope_attn_bwd_core(
+        qkv[:, :, :c].reshape(b, s, num_heads, d),
+        qkv[:, :, c:2 * c].reshape(b, s, num_heads, d),
+        qkv[:, :, 2 * c:].reshape(b, s, num_heads, d),
+        g_out.reshape(b, s, num_heads, d), cos, sin, scale)
     dqkv = jnp.concatenate(
         [dq.reshape(b, s, c), dk.reshape(b, s, c), dv.reshape(b, s, c)],
         axis=-1).astype(qkv.dtype)
