@@ -117,7 +117,8 @@ def test_bf16_scores_path_close_to_f32(rng):
     assert np.abs(fast - exact).mean() < 3e-3
     # deferred-normalization variants (divide after PV instead of over the
     # S² probability tensor) must agree with the pre-divided bf16 path
-    for impl in ("xla_postscale", "xla_nomax", "xla_fusedmax", "xla_bqhk"):
+    for impl in ("xla_postscale", "xla_nomax", "xla_fusedmax", "xla_bqhk",
+                 "xla_bf16softmax"):
         post = np.asarray(attention_bshd(q, k, v, impl=impl))
         assert np.abs(post - exact).max() < 2e-2
         assert np.abs(post - fast).max() < 1e-2

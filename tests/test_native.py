@@ -90,15 +90,23 @@ def test_native_throughput_sanity(png_files, tmp_path, rng):
         cv2.imwrite(str(p), a)
         paths.append(str(p))
     native.load_thermal_batch(paths[:2], (224, 224))  # warm pool
-    t0 = time.perf_counter()
-    out, ok = native.load_thermal_batch(paths, (224, 224),
-                                        n_threads=os.cpu_count() or 1)
-    t_native = time.perf_counter() - t0
-    assert ok.all()
-    t0 = time.perf_counter()
-    for p in paths:
-        img = cv2.imread(p, cv2.IMREAD_ANYDEPTH)
-        cv2.resize(img.astype(np.float32), (224, 224))
-    t_cv2 = time.perf_counter() - t0
+
+    # best-of-3 for both paths: wall-clock timing on a shared 1-core CI host
+    # is at the mercy of whatever else is scheduled; the MIN is the
+    # contention-free estimate of each path's cost
+    t_native = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, ok = native.load_thermal_batch(paths, (224, 224),
+                                            n_threads=os.cpu_count() or 1)
+        t_native = min(t_native, time.perf_counter() - t0)
+        assert ok.all()
+    t_cv2 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for p in paths:
+            img = cv2.imread(p, cv2.IMREAD_ANYDEPTH)
+            cv2.resize(img.astype(np.float32), (224, 224))
+        t_cv2 = min(t_cv2, time.perf_counter() - t0)
     budget = 2.0 if (os.cpu_count() or 1) == 1 else 1.0
     assert t_native < t_cv2 * budget, (t_native, t_cv2)

@@ -721,7 +721,7 @@ def attention_bshd(
     # (531 → 598 fps end-to-end, docs/PERF.md). Softmax statistics stay f32.
     # f32 inputs (parity/tests) keep f32 scores; impl flags force either way.
     bf16_scores = impl in ("xla_bf16_scores", "xla_postscale", "xla_nomax",
-                           "xla_fusedmax") or (
+                           "xla_fusedmax", "xla_bf16softmax") or (
         impl != "xla_f32_scores" and q.dtype == jnp.bfloat16)
     # Deferred normalization is the DEFAULT on the bf16 path (646.9 → 656.0
     # fps end-to-end, docs/PERF.md); 'xla_bf16_scores' forces the legacy
@@ -743,6 +743,14 @@ def attention_bshd(
             # can exceed ~88; LN'd q/k keep them far below in practice)
             scores = scores.astype(jnp.bfloat16)
             p = jnp.exp(scores.astype(jnp.float32))
+        elif impl == "xla_bf16softmax":
+            # measurement variant: max and exp stay ENTIRELY in bf16 (no f32
+            # upcast of the [B,H,S,S] tensor inside the softmax fusions; the
+            # normalizer still accumulates f32). exp(x−m) ≤ 1 so bf16 only
+            # costs ~2^-9 relative on the probabilities.
+            scores = scores.astype(jnp.bfloat16)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            p = jnp.exp(scores - m)  # bf16 end-to-end; PV reads it directly
         else:
             scores = scores.astype(jnp.bfloat16)
             m = jnp.max(scores.astype(jnp.float32), axis=-1, keepdims=True)
@@ -754,7 +762,8 @@ def attention_bshd(
             # exp(x−m) ≤ 1 so unnormalized p is representable in bf16; the
             # PV matmul accumulates f32 and the row scale happens there —
             # numerics differ from pre-division only by final rounding.
-            s = jnp.sum(p, axis=-1)  # [B, H, Sq] f32 (same fusion as exp)
+            # [B, H, Sq]; f32 accumulation (no-op upcast when p is f32)
+            s = jnp.sum(p.astype(jnp.float32), axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
                              preferred_element_type=jnp.float32)
             return (out / s.transpose(0, 2, 1)[..., None]).astype(q.dtype)
