@@ -35,7 +35,7 @@ def _warmup_with_retry(fn):
     raise last_err
 
 
-def bench_train(batch: int, n_iters: int, remat: bool):
+def bench_train(batch: int, n_iters: int, remat: bool, scan: bool = False):
     """Training-step throughput (the reference's actual workload,
     train_thermal_dustr.py:182-363): device-enhance → two-view forward →
     enhanced thermal-aware loss vs 512² pseudo-GT (in-graph resize) →
@@ -49,8 +49,10 @@ def bench_train(batch: int, n_iters: int, remat: bool):
     from thermal3d.train.state import create_train_state
     from thermal3d.train.step import make_train_step
 
+    # --scan: lax.scan over stacked block params — fewer optimizer leaves
+    # (per-leaf AdamW small-op DMA is ~18 ms/step unrolled, docs/PERF.md)
     config = dataclasses.replace(DUSTR_224_LINEAR, compute_dtype="bfloat16",
-                                 remat=remat)
+                                 remat=remat, scan_layers=scan)
     model = AsymmetricCroCo3DStereo(config)
     cfg = TrainConfig(batch_size=batch, use_enhanced_loss=True,
                       flatten_optimizer="--flatten-opt" in sys.argv)
@@ -243,7 +245,8 @@ def main():
         n_iters = int(positional[1]) if len(positional) > 1 else 10
         # no-remat default: ViT-L/224 activations fit HBM at these batches
         # and remat costs 24% (101 -> 82 fps at b16, docs/PERF.md)
-        bench_train(batch, n_iters, remat="--remat" in sys.argv)
+        bench_train(batch, n_iters, remat="--remat" in sys.argv,
+                    scan="--scan" in sys.argv)
         return
 
     if "--pseudo-gt" in sys.argv:
