@@ -97,7 +97,7 @@ def bench_train(batch: int, n_iters: int, remat: bool, scan: bool = False):
 
 def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
                     split: bool = False, chained: bool = False,
-                    tiny: bool = False):
+                    tiny: bool = False, int8_only=None):
     """Pseudo-GT generation throughput (scripts/pseudo_gt.py:507-611 is the
     reference's second production workload): frozen MASt3R-512 two-view
     forward + on-device intrinsics + Umeyama pose, one jitted step.
@@ -122,8 +122,11 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
         from thermal3d.cli.common import apply_preset
 
         config = apply_preset(config, "tiny", (64, 64), "float32")
-    gen = PseudoGTGenerator(config, batch_size=batch, split_programs=split)
-    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), gen.params)
+    gen = PseudoGTGenerator(config, batch_size=batch, split_programs=split,
+                            params_dtype="bfloat16",
+                            quantize_int8=int8_only is not None,
+                            int8_only=int8_only or ())
+    params, quant = gen.params, gen.quant
     h, w = config.img_size
     ks = jax.random.split(jax.random.key(0), 2)
     rgb1 = jax.random.uniform(ks[0], (batch, h, w, 3))
@@ -141,7 +144,7 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
         def run_chain(params, rgb1, rgb2, n):
             def body(_, carry):
                 r1, acc = carry
-                out = gen._step_impl(params, r1, rgb2)
+                out = gen._step_impl(params, quant, r1, rgb2)
                 fb = jnp.tanh(jnp.mean(out["depth1"], axis=(1, 2)))
                 r1 = r1 * (1.0 + fb[:, None, None, None] * 1e-4)
                 # fold a scalar from EVERY output tensor into the carry so
@@ -178,6 +181,7 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
             "attn": attn,
             "chained": True,
             **({"scan": True} if scan else {}),
+            **({"int8": list(int8_only) or "all"} if int8_only is not None else {}),
         }))
         return
 
@@ -187,19 +191,19 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
         # program compiles too slowly through the remote-compile relay
         @jax.jit
         def tail_fb(params, feats, pos, rgb1):
-            out = gen._tail_impl(params, feats, pos)
+            out = gen._tail_impl(params, quant, feats, pos)
             fb = jnp.tanh(jnp.mean(out["depth1"], axis=(1, 2)))[:, None, None, None]
             return out, rgb1 * (1.0 + fb * 1e-4)
 
         def once(rgb1):
-            feats, pos, grid = gen._enc(params, rgb1, rgb2)
+            feats, pos, grid = gen._enc(params, quant, rgb1, rgb2)
             return tail_fb(params, feats, pos, rgb1)
     else:
         @jax.jit
         def once(rgb1):
             # feedback computed INSIDE the jitted program: eager ops
             # dispatched through this harness's TPU relay cost seconds each
-            out = gen._step_impl(params, rgb1, rgb2)
+            out = gen._step_impl(params, quant, rgb1, rgb2)
             fb = jnp.tanh(jnp.mean(out["depth1"], axis=(1, 2)))[:, None, None, None]
             return out, rgb1 * (1.0 + fb * 1e-4)
 
@@ -220,6 +224,7 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
         "attn": attn,
         **({"scan": True} if scan else {}),
         **({"split": True} if split else {}),
+        **({"int8": list(int8_only) or "all"} if int8_only is not None else {}),
     }))
 
 
@@ -236,6 +241,18 @@ def main():
         if a.startswith("--attn="):
             attn_flag = a.split("=", 1)[1]
             sys.argv.remove(a)
+
+    use_int8 = "--int8" in sys.argv
+    int8_scope = "all"
+    for a in list(sys.argv):
+        if a.startswith("--int8-scope="):
+            int8_scope = a.split("=", 1)[1]
+            sys.argv.remove(a)
+
+    def int8_only():
+        from thermal3d.kernels.quant import SCOPE_TO_ONLY
+
+        return SCOPE_TO_ONLY[int8_scope]
 
     # positionals = non-flag args, so flag order never breaks int() parsing
     positional = [a for a in sys.argv[1:] if not a.startswith("-")]
@@ -255,7 +272,8 @@ def main():
         bench_pseudo_gt(batch, n_iters, attn_flag, scan="--scan" in sys.argv,
                         split="--split" in sys.argv,
                         chained="--chained" in sys.argv,
-                        tiny="--tiny" in sys.argv)
+                        tiny="--tiny" in sys.argv,
+                        int8_only=int8_only() if use_int8 else None)
         return
 
     from thermal3d.core.config import DUSTR_224_LINEAR
@@ -263,14 +281,7 @@ def main():
     from thermal3d.models.thermal_wrap import ThermalPreprocessHead
     from thermal3d.preprocess.enhance import enhance_thermal_contrast
 
-    use_int8 = "--int8" in sys.argv
-    int8_only = ()
-    for a in list(sys.argv):
-        if a.startswith("--int8-scope="):
-            from thermal3d.kernels.quant import SCOPE_TO_ONLY
-
-            int8_only = SCOPE_TO_ONLY[a.split("=", 1)[1]]
-            sys.argv.remove(a)
+    serving_int8_only = int8_only() if use_int8 else ()
     batch = int(positional[0]) if positional else 32
     # 30 chained iterations: enough to amortize this harness's per-run relay
     # dispatch/fetch overhead so the number measures the chip's steady state
@@ -305,7 +316,7 @@ def main():
     if use_int8:  # int8 MXU serving mode (accuracy-gated, tests/test_quant.py)
         from thermal3d.kernels.quant import quantize_params_int8
 
-        params, quant = quantize_params_int8(params, only=int8_only)
+        params, quant = quantize_params_int8(params, only=serving_int8_only)
     head_params = jax.jit(lambda k: head.init(k, jnp.zeros((1, h, w, 3))))(
         jax.random.key(1))["params"]
 

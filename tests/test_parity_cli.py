@@ -1,0 +1,83 @@
+"""cli.parity — the one-command reference-parity gate (BASELINE.md 1% AbsRel,
+reference eval protocol utils/evaluate_depth_metrics.py:247-401), kept ready
+for the moment real reference weights/outputs are available."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from thermal3d.cli.parity import main
+
+
+@pytest.fixture
+def depth_pair(tmp_path, rng):
+    ours = tmp_path / "ours"
+    theirs = tmp_path / "theirs"
+    ours.mkdir(), theirs.mkdir()
+    for i in range(3):
+        d = rng.uniform(1.0, 10.0, (16, 16)).astype(np.float32)
+        np.save(theirs / f"f_{i}_depth.npy", d)
+        np.save(ours / f"f_{i}_depth.npy", d)
+    return ours, theirs
+
+
+def test_dir_mode_pass_and_report(depth_pair, tmp_path):
+    ours, theirs = depth_pair
+    rpt = tmp_path / "r.json"
+    report = main(["--ours_dir", str(ours), "--theirs_dir", str(theirs),
+                   "--report", str(rpt)])
+    assert report["dirs"]["summary"]["all_bit_equal"]
+    assert json.load(open(rpt))["dirs"]["summary"]["within_1pct_abs_rel"]
+
+
+def test_dir_mode_gate_fails_on_drift(depth_pair, rng):
+    ours, theirs = depth_pair
+    # non-uniform perturbation: median scaling cannot absorb it
+    for f in os.listdir(ours):
+        d = np.load(ours / f)
+        d[::2] *= 1.5
+        np.save(ours / f, d)
+    with pytest.raises(SystemExit):
+        main(["--ours_dir", str(ours), "--theirs_dir", str(theirs)])
+
+
+@pytest.fixture
+def golden_set(tmp_path, rng):
+    import cv2
+
+    gdir = tmp_path / "golden"
+    gdir.mkdir()
+    for i in range(2):
+        ts = f"157000000{i}_1234{i}"
+        png = tmp_path / f"fl_ir_aligned_{ts}_ir.png"
+        cv2.imwrite(str(png),
+                    rng.uniform(21000, 26000, (64, 80)).astype(np.uint16))
+        base = f"fl_ir_aligned_{ts}0_rgb"
+        np.save(gdir / f"{base}_depth.npy",
+                rng.uniform(1.0, 10.0, (32, 32)).astype(np.float32))
+        (gdir / f"{base}_thermal_path.txt").write_text(str(png))
+    return gdir
+
+
+def test_golden_mode_int8_gate(golden_set, tmp_path):
+    rpt = tmp_path / "g.json"
+    # random-init tiny engines; the wide gate tests the HARNESS (both engines
+    # run, drift computed, report written), not model accuracy
+    report = main(["--golden_dir", str(golden_set), "--model_preset", "tiny",
+                   "--img_size", "64", "64", "--compute_dtype", "float32",
+                   "--batch_size", "2", "--int8", "--gate", "10.0",
+                   "--report", str(rpt)])
+    assert np.isfinite(report["golden_bf16"]["abs_rel"])
+    assert np.isfinite(report["golden_int8"]["abs_rel"])
+    assert "int8_abs_rel_drift" in json.load(open(rpt))
+
+
+def test_golden_mode_reference_metrics_gate_fails(golden_set, tmp_path):
+    ref = tmp_path / "ref.json"
+    ref.write_text(json.dumps({"abs_rel": 1e-6}))  # unreachable target
+    with pytest.raises(SystemExit):
+        main(["--golden_dir", str(golden_set), "--model_preset", "tiny",
+              "--img_size", "64", "64", "--compute_dtype", "float32",
+              "--batch_size", "2", "--reference_metrics", str(ref)])

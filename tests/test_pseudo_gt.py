@@ -41,6 +41,36 @@ def mini_freiburg(tmp_path, rng):
     return root
 
 
+def test_generator_int8_mode(rng):
+    """quantize_int8 on the generator (same opt-in as the engine): fc1-scope
+    int8 runs through both program modes, outputs finite and close to the
+    float path on a tiny net."""
+    from thermal3d.kernels.quant import SCOPE_TO_ONLY
+    from thermal3d.pseudo_gt.generator import PseudoGTGenerator
+
+    cfg = DustrModelConfig(**TINY_MASTR_KW)
+    gen = PseudoGTGenerator(cfg, batch_size=2)
+    gen8 = PseudoGTGenerator(cfg, params=gen.params, batch_size=2,
+                             quantize_int8=True,
+                             int8_only=SCOPE_TO_ONLY["fc1"])
+    gen8s = PseudoGTGenerator(cfg, params=gen.params, batch_size=2,
+                              split_programs=True, quantize_int8=True,
+                              int8_only=SCOPE_TO_ONLY["fc1"])
+    rgb1 = rng.uniform(0, 1, (2, *cfg.img_size, 3)).astype(np.float32)
+    rgb2 = rng.uniform(0, 1, (2, *cfg.img_size, 3)).astype(np.float32)
+    out = gen.run_pairs(rgb1, rgb2)
+    out8 = gen8.run_pairs(rgb1, rgb2)
+    out8s = gen8s.run_pairs(rgb1, rgb2)
+    for k in out:
+        assert np.isfinite(out8[k]).all(), k
+        # int8 and float paths agree to quantization noise on a tiny net
+        scale = np.abs(out[k]).mean() + 1e-6
+        assert np.abs(out8[k] - out[k]).mean() / scale < 0.05, k
+        # both program modes quantize identically
+        np.testing.assert_allclose(out8s[k], out8[k], rtol=2e-4, atol=2e-4,
+                                   err_msg=k)
+
+
 def test_generator_split_programs_matches_single(rng):
     """split_programs (two compiled programs: encoder / rest) is numerically
     the single-program step."""

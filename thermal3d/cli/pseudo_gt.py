@@ -24,6 +24,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_set", action="store_true",
                    help="monocular test-set mode (test_pseudo_gt.py layout)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--int8", action="store_true",
+                   help="int8-MXU the trunk GEMMs (opt-in; pseudo-GT is "
+                        "GT-generating — gate outputs with cli.parity)")
+    p.add_argument("--int8_scope", type=str, default="fc1",
+                   help="int8 scope; default 'fc1' = the 1%%-drift-measured "
+                        "scope (docs/INT8_SWEEP.md)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
@@ -52,8 +58,14 @@ def main(argv=None):
     from thermal3d.cli.common import apply_scan
 
     config, params = apply_scan(config, params, args.scan_layers)
+    int8_kw = {}
+    if args.int8:
+        from thermal3d.kernels.quant import SCOPE_TO_ONLY
+
+        int8_kw = {"quantize_int8": True,
+                   "int8_only": SCOPE_TO_ONLY[args.int8_scope]}
     gen = PseudoGTGenerator(config, params=params, batch_size=args.batch_size,
-                            calib_file=args.calib_file)
+                            calib_file=args.calib_file, **int8_kw)
 
     if args.test_set:
         frames = build_rgb_thermal_index(args.dataset_dir)

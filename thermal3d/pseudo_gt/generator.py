@@ -32,16 +32,35 @@ OUTPUT_DIRS = ("pointmap1", "pointmap2", "confidence1", "confidence2",
                "depth1", "depth2", "intrinsics", "poses")
 
 
+def _vars(params, quant):
+    """Flax variable dict; the 'quant' collection only when int8 scales exist
+    (QuantDense dispatches on its presence — models/layers.py)."""
+    v = {"params": params}
+    if quant is not None:
+        v["quant"] = quant
+    return v
+
+
 class PseudoGTGenerator:
     def __init__(self, config: DustrModelConfig = MASTR_512_CATMLPDPT,
                  params: Optional[Dict] = None, batch_size: int = 4,
                  calib_file: Optional[str] = None, rng_seed: int = 0,
-                 split_programs: bool = False):
+                 split_programs: bool = False, params_dtype: Optional[str] = None,
+                 quantize_int8: bool = False,
+                 int8_group_size: Optional[int] = None,
+                 int8_skip: tuple = (), int8_only: tuple = ()):
         """split_programs: compile encoder and decoder+heads+geometry as TWO
         programs instead of one — same numerics, one extra HBM round-trip of
         the encoder features, but each XLA compile is roughly half the size
         (for environments where the single 512 program compiles too slowly;
-        docs/PERF.md)."""
+        docs/PERF.md).
+
+        quantize_int8: int8-MXU the trunk GEMMs (kernels/quant.py), same
+        opt-in + scoping as the serving engine; pseudo-GT is GT-GENERATING,
+        so prefer the drift-measured fc1 scope (docs/INT8_SWEEP.md) and gate
+        outputs via cli.parity before training on them. At S=1024 'auto'
+        attention resolves to the fused Pallas kernels, so the engine's
+        postscale-vs-int8 pin does not apply here."""
         self.config = config
         self.batch_size = batch_size
         self.split_programs = split_programs
@@ -51,6 +70,16 @@ class PseudoGTGenerator:
             dummy = jnp.zeros((1, h, w, 3), jnp.float32)
             params = jax.jit(lambda k: self.model.init(k, dummy, dummy))(
                 jax.random.key(rng_seed))["params"]
+        if params_dtype is not None:
+            dt = jnp.bfloat16 if params_dtype == "bfloat16" else jnp.dtype(params_dtype)
+            params = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
+        self.quant = None
+        if quantize_int8:
+            from thermal3d.kernels.quant import quantize_params_int8
+
+            params, self.quant = quantize_params_int8(
+                params, group_size=int8_group_size, skip=int8_skip,
+                only=int8_only)
         self.params = params
         self.calib_k = None
         if calib_file and os.path.exists(calib_file):
@@ -62,30 +91,30 @@ class PseudoGTGenerator:
             # the two-view concat and the feats split both live INSIDE the
             # jitted programs: an eager op between them would dispatch
             # through the (slow) host↔device path per call
-            self._enc = jax.jit(lambda p, rgb1, rgb2: self.model.apply(
-                {"params": p}, jnp.concatenate([rgb1, rgb2], axis=0),
+            self._enc = jax.jit(lambda p, q, rgb1, rgb2: self.model.apply(
+                _vars(p, q), jnp.concatenate([rgb1, rgb2], axis=0),
                 method="encode"))
             self._tail = jax.jit(
-                lambda p, feats, pos: self._tail_impl(p, feats, pos))
+                lambda p, q, feats, pos: self._tail_impl(p, q, feats, pos))
             self._step = self._step_split
         else:
             self._step = jax.jit(self._step_impl)
 
-    def _step_split(self, params, rgb1, rgb2):
-        feats, pos, grid = self._enc(params, rgb1, rgb2)
-        return self._tail(params, feats, pos)
+    def _step_split(self, params, quant, rgb1, rgb2):
+        feats, pos, grid = self._enc(params, quant, rgb1, rgb2)
+        return self._tail(params, quant, feats, pos)
 
-    def _tail_impl(self, params, feats, pos):
+    def _tail_impl(self, params, quant, feats, pos):
         grid = self.config.patch_grid
         b = feats.shape[0] // 2
-        pred1, pred2 = self.model.apply({"params": params}, feats[:b],
+        pred1, pred2 = self.model.apply(_vars(params, quant), feats[:b],
                                         feats[b:], pos, grid,
                                         method="decode_with_heads")
         return self._geometry(pred1, pred2)
 
-    def _step_impl(self, params, rgb1, rgb2):
+    def _step_impl(self, params, quant, rgb1, rgb2):
         """rgb*: [B, H, W, 3] in [0,1] → all pseudo-GT tensors, on device."""
-        pred1, pred2 = self.model.apply({"params": params}, rgb1, rgb2)
+        pred1, pred2 = self.model.apply(_vars(params, quant), rgb1, rgb2)
         return self._geometry(pred1, pred2)
 
     def _geometry(self, pred1, pred2):
@@ -102,7 +131,8 @@ class PseudoGTGenerator:
                 "intrinsics": k, "poses": pose}
 
     def run_pairs(self, rgb1: np.ndarray, rgb2: np.ndarray) -> Dict[str, np.ndarray]:
-        out = self._step(self.params, jnp.asarray(rgb1), jnp.asarray(rgb2))
+        out = self._step(self.params, self.quant,
+                         jnp.asarray(rgb1), jnp.asarray(rgb2))
         return {k: np.asarray(v) for k, v in out.items()}
 
 
