@@ -168,6 +168,41 @@ def test_engine_int8_depth_drift_bounded(rng, tiny_config, compute_dtype):
     assert rel_rms < 0.04, rel_rms
 
 
+@pytest.mark.parametrize("group_size", [None, 16])
+def test_quantize_scan_layout_matches_unrolled(rng, tiny_config, group_size):
+    """Scan-layout params quantize per layer with STACKED scales (so
+    nn.scan's variable_axes={'quant': 0} slices them with the params) and
+    the scan model's int8 forward matches the unrolled int8 forward."""
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+    from thermal3d.models.scan_params import to_scan_params
+
+    cfg = tiny_config
+    model = AsymmetricCroCo3DStereo(cfg)
+    smodel = AsymmetricCroCo3DStereo(dataclasses.replace(cfg, scan_layers=True))
+    h, w = cfg.img_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.key(0), dummy, dummy)["params"]
+    img1 = rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32)
+
+    pq, q = quantize_params_int8(params, group_size=group_size)
+    spq, sq = quantize_params_int8(to_scan_params(params, cfg),
+                                   group_size=group_size)
+    from flax import traverse_util
+
+    sflat = traverse_util.flatten_dict(sq)
+    assert any(p[0] in ("enc_scan", "dec_scan") for p in sflat)
+    # per-layer scales stacked on the depth axis
+    for path, leaf in traverse_util.flatten_dict(spq).items():
+        if leaf.dtype == jnp.int8 and path[0] == "enc_scan":
+            assert leaf.ndim == 3 and leaf.shape[0] == cfg.enc_depth, path
+
+    o1, o2 = model.apply({"params": pq, "quant": q}, img1, img2)
+    s1, s2 = smodel.apply({"params": spq, "quant": sq}, img1, img2)
+    np.testing.assert_allclose(s1["pts3d"], o1["pts3d"], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(s2["conf"], o2["conf"], rtol=2e-4, atol=2e-4)
+
+
 def test_quantize_refuses_empty():
     with pytest.raises(ValueError):
         quantize_params_int8({"downstream_head1": {"proj": {

@@ -122,7 +122,8 @@ def _targeted(path: Tuple[str, ...], skip: Collection[str],
         return False
     if only and path[-2] not in only:
         return False
-    return top.startswith(("enc_blocks", "dec_blocks")) or top == "decoder_embed"
+    return (top.startswith(("enc_blocks", "dec_blocks"))
+            or top in ("decoder_embed", "enc_scan", "dec_scan"))
 
 
 def quantize_params_int8(params: Dict, group_size: Optional[int] = None,
@@ -145,25 +146,26 @@ def quantize_params_int8(params: Dict, group_size: Optional[int] = None,
     and skipping single layers barely move it), so the accuracy/speed
     frontier is the FRACTION of GEMMs quantized, which `only` controls.
     """
-    if "enc_scan" in params or "dec_scan" in params:
-        # scan-layout trunks stack each block's kernels on a leading depth
-        # axis; the per-layer scale collections QuantDense reads don't exist
-        # in that layout, so quantization would silently target nothing but
-        # decoder_embed. Fail loudly instead (kernels/quant.py design rule).
-        raise ValueError(
-            "int8 quantization does not support scan_layers param layout; "
-            "quantize the unrolled params (models.scan_params.from_scan_params"
-            ") or drop --scan_layers")
     flat = traverse_util.flatten_dict(params)
     qflat, quant = {}, {}
     for path, leaf in flat.items():
-        if (path[-1] == "kernel" and getattr(leaf, "ndim", 0) == 2
+        ndim = getattr(leaf, "ndim", 0)
+        # scan-layout trunks (enc_scan/dec_scan, models/scan_params.py) stack
+        # each block's [K,N] kernel on a leading depth axis → [L,K,N]; the
+        # scales quantize per layer and stay stacked so nn.scan's
+        # variable_axes={"quant": 0} slices them alongside the params
+        stacked = path[0] in ("enc_scan", "dec_scan") and ndim == 3
+        if (path[-1] == "kernel" and (ndim == 2 or stacked)
                 and _targeted(path, skip, only)):
             # whole-column fallback for kernels whose K the group doesn't
             # divide (production Ks 768/1024/3072/4096 all divide 128)
-            gs = group_size if group_size and leaf.shape[0] % group_size == 0 \
+            k_dim = leaf.shape[1] if stacked else leaf.shape[0]
+            gs = group_size if group_size and k_dim % group_size == 0 \
                 else None
-            wq, ws = quantize_kernel(leaf, gs)
+            if stacked:
+                wq, ws = jax.vmap(lambda w: quantize_kernel(w, gs))(leaf)
+            else:
+                wq, ws = quantize_kernel(leaf, gs)
             qflat[path] = wq
             quant[path[:-1] + ("kernel_scale",)] = ws
         else:
