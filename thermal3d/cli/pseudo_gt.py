@@ -25,11 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="monocular test-set mode (test_pseudo_gt.py layout)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--int8", action="store_true",
-                   help="int8-MXU the trunk GEMMs (opt-in; pseudo-GT is "
-                        "GT-generating — gate outputs with cli.parity)")
-    p.add_argument("--int8_scope", type=str, default="fc1",
-                   help="int8 scope; default 'fc1' = the 1%%-drift-measured "
-                        "scope (docs/INT8_SWEEP.md)")
+                   help="int8-MXU the trunk GEMMs (opt-in, +9.9%% at 512 but "
+                        "8%% depth drift — for heavily-filtered candidate "
+                        "generation ONLY; gate outputs with cli.parity)")
+    p.add_argument("--int8_scope", type=str, default="all",
+                   help="int8 scope; at S=1024 only 'all' wins — fc1 is "
+                        "speed-neutral there (docs/INT8_SWEEP.md 512 section)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)

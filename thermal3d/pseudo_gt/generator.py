@@ -56,11 +56,13 @@ class PseudoGTGenerator:
         docs/PERF.md).
 
         quantize_int8: int8-MXU the trunk GEMMs (kernels/quant.py), same
-        opt-in + scoping as the serving engine; pseudo-GT is GT-GENERATING,
-        so prefer the drift-measured fc1 scope (docs/INT8_SWEEP.md) and gate
-        outputs via cli.parity before training on them. At S=1024 'auto'
-        attention resolves to the fused Pallas kernels, so the engine's
-        postscale-vs-int8 pin does not apply here."""
+        opt-in + scoping as the serving engine. Measured at 512 production
+        dims (docs/INT8_SWEEP.md): full-trunk +9.9% pairs/s but 8.1% depth
+        RMS drift (fc1-scope is speed-NEUTRAL at S=1024) — pseudo-GT is
+        GT-GENERATING, so this is for heavily-filtered candidate generation
+        only; gate outputs via cli.parity before training on them. At
+        S=1024 'auto' attention resolves to the fused Pallas kernels, so
+        the engine's postscale-vs-int8 pin does not apply here."""
         self.config = config
         self.batch_size = batch_size
         self.split_programs = split_programs
