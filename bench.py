@@ -282,7 +282,9 @@ def main():
     from thermal3d.preprocess.enhance import enhance_thermal_contrast
 
     serving_int8_only = int8_only() if use_int8 else ()
-    batch = int(positional[0]) if positional else 32
+    # batch 36 is the measured round-3 optimum (median 732 vs 724 at 32;
+    # 24→720, 28→708, 40→710 — docs/PERF.md round-3 sweep)
+    batch = int(positional[0]) if positional else 36
     # 30 chained iterations: enough to amortize this harness's per-run relay
     # dispatch/fetch overhead so the number measures the chip's steady state
     n_iters = int(positional[1]) if len(positional) > 1 else 30
