@@ -43,6 +43,13 @@ def test_dir_mode_gate_fails_on_drift(depth_pair, rng):
         main(["--ours_dir", str(ours), "--theirs_dir", str(theirs)])
 
 
+def test_dir_mode_gate_fails_on_missing_frame(depth_pair):
+    ours, theirs = depth_pair
+    os.remove(ours / "f_1_depth.npy")  # reference frame we never produced
+    with pytest.raises(SystemExit):
+        main(["--ours_dir", str(ours), "--theirs_dir", str(theirs)])
+
+
 @pytest.fixture
 def golden_set(tmp_path, rng):
     import cv2

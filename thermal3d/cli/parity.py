@@ -76,7 +76,7 @@ def main(argv=None):
         r = compare_depth_dirs(args.ours_dir, args.theirs_dir)
         report["dirs"] = r
         s = r["summary"]
-        ok = bool(s["n_compared"]) and all(
+        ok = bool(s["n_compared"]) and s["n_missing"] == 0 and all(
             v.get("abs_rel_vs_reference", float("inf")) <= args.gate
             for v in r["per_frame"].values() if not v.get("missing"))
         print(f"dir parity: {s['n_compared']}/{s['n_frames']} frames, "
