@@ -258,7 +258,9 @@ def main():
     positional = [a for a in sys.argv[1:] if not a.startswith("-")]
 
     if "--train" in sys.argv:
-        batch = int(positional[0]) if positional else 16
+        # 18 is the measured round-3 optimum (107.4-107.8 vs 101.5-102.3 at
+        # 16 same-day; 20→97, 24→92 — docs/PERF.md train sweep)
+        batch = int(positional[0]) if positional else 18
         n_iters = int(positional[1]) if len(positional) > 1 else 10
         # no-remat default: ViT-L/224 activations fit HBM at these batches
         # and remat costs 24% (101 -> 82 fps at b16, docs/PERF.md)
