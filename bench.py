@@ -79,11 +79,14 @@ def bench_train(batch: int, n_iters: int, remat: bool, scan: bool = False):
 
     _warmup_with_retry(once)
 
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, metrics = step(state, batch_data)
-    final = float(metrics["loss"])
-    dt = time.perf_counter() - t0
+    # best of two passes (relay-contention protection, same as serving)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, metrics = step(state, batch_data)
+        final = float(metrics["loss"])
+        dt = min(dt, time.perf_counter() - t0)
     fps = batch * n_iters / dt
     print(json.dumps({
         "metric": "train_frames_per_sec_per_chip_dustr224",
