@@ -169,9 +169,11 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
         _warmup_with_retry(lambda: timed(1))
         n_small = 2
         n_big = n_small + n_iters
-        dt_small, _ = timed(n_small)
-        dt_big, final = timed(n_big)
-        dt = dt_big - dt_small  # dispatch + h2d overhead cancels
+        # best of two per trip count (relay-contention protection) before
+        # differencing; dispatch + h2d overhead cancels in the difference
+        dt_small = min(timed(n_small)[0], timed(n_small)[0])
+        (dt_big, final), dt_big2 = timed(n_big), timed(n_big)[0]
+        dt = min(dt_big, dt_big2) - dt_small
         pps = batch * n_iters / dt
         print(json.dumps({
             "metric": "pseudo_gt_pairs_per_sec_per_chip_mastr512",
