@@ -21,7 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--img_size", type=int, nargs=2, default=[224, 224])
     p.add_argument("--num_samples", type=int, default=0, help="0 = all")
-    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--batch_size", type=int, default=36,
+                   help="36 = the measured v5e throughput optimum (M=7056 "
+                        "token rows, docs/PERF.md); final partial batch is "
+                        "padded")
     p.add_argument("--no_thermal_model", action="store_true")
     p.add_argument("--no_vis", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")

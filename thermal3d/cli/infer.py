@@ -26,7 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="defaults to the model variant's native resolution "
                         "(224 224 for dustr224_linear)")
     p.add_argument("--output_dir", type=str, default="inference_results")
-    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--batch_size", type=int, default=36,
+                   help="36 = the measured v5e throughput optimum (M=7056 "
+                        "token rows, docs/PERF.md); final partial batch is "
+                        "padded")
     p.add_argument("--no_thermal_model", action="store_true",
                    help="skip the ThermalDUSt3R preprocessing head")
     p.add_argument("--fire_scene", action="store_true",

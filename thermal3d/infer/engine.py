@@ -129,7 +129,7 @@ class InferenceEngine:
                             img1, img1 if monocular else img2, monocular)
         return {k: np.asarray(v) for k, v in out.items()}
 
-    def infer_paths(self, paths: List[str], batch_size: int = 16,
+    def infer_paths(self, paths: List[str], batch_size: int = 36,
                     pad_final: bool = True) -> Dict[str, np.ndarray]:
         """Directory-batch monocular depth over a list of thermal frames
         (thermal_dustr_inference.py:323-350), batched + device-pipelined.
