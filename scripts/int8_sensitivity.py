@@ -61,6 +61,19 @@ def main():
         results.append(rec)
         return rel
 
+    if "--equalize" in sys.argv:
+        # SmoothQuant-style LN→GEMM fold (kernels/quant.py equalize_ln_gemm):
+        # exact reparameterization — does damping activation outlier channels
+        # reduce the dynamic-quant noise at production dims?
+        measure("flat")
+        measure("flat+eq", int8_equalize=True)
+        measure("mlp_only", int8_only=("fc1", "fc2"))
+        measure("mlp_only+eq", int8_only=("fc1", "fc2"), int8_equalize=True)
+        measure("fc1_only", int8_only=("fc1",))
+        measure("fc1_only+eq", int8_only=("fc1",), int8_equalize=True)
+        _write(results)
+        return
+
     base = measure("flat")
     if "--pareto" in sys.argv:
         # partial-quantization frontier: drift vs fraction of GEMMs on int8.

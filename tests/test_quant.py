@@ -203,6 +203,50 @@ def test_quantize_scan_layout_matches_unrolled(rng, tiny_config, group_size):
     np.testing.assert_allclose(s2["conf"], o2["conf"], rtol=2e-4, atol=2e-4)
 
 
+def test_equalize_ln_gemm_is_exact(rng, tiny_config):
+    """SmoothQuant-style LN→GEMM equalization is a pure reparameterization:
+    the f32 forward is unchanged (to float rounding) on unrolled AND scan
+    layouts."""
+    from thermal3d.kernels.quant import equalize_ln_gemm
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+    from thermal3d.models.scan_params import to_scan_params
+
+    cfg = tiny_config
+    model = AsymmetricCroCo3DStereo(cfg)
+    h, w = cfg.img_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.key(0), dummy, dummy)["params"]
+    img1 = rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32)
+    o1, o2 = model.apply({"params": params}, img1, img2)
+
+    eq = equalize_ln_gemm(params)
+    e1, e2 = model.apply({"params": eq}, img1, img2)
+    np.testing.assert_allclose(e1["pts3d"], o1["pts3d"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(e2["conf"], o2["conf"], rtol=1e-4, atol=1e-5)
+
+    # scan layout: same fold on stacked leaves
+    seq = equalize_ln_gemm(to_scan_params(params, cfg))
+    smodel = AsymmetricCroCo3DStereo(dataclasses.replace(cfg, scan_layers=True))
+    s1, _ = smodel.apply({"params": seq}, img1, img2)
+    np.testing.assert_allclose(s1["pts3d"], o1["pts3d"], rtol=1e-4, atol=1e-5)
+
+    # LN params actually changed (the fold happened, not a no-op)
+    assert not np.allclose(eq["enc_blocks_0"]["norm1"]["scale"],
+                           params["enc_blocks_0"]["norm1"]["scale"])
+
+
+def test_engine_int8_equalize_runs(rng, tiny_config):
+    from thermal3d.infer.engine import InferenceEngine
+
+    h, w = tiny_config.img_size
+    raw = rng.uniform(21000, 26000, (2, h, w)).astype(np.float32)
+    eng = InferenceEngine(tiny_config, use_thermal_head=False,
+                          quantize_int8=True, int8_equalize=True)
+    out = eng.infer(raw)["depth"]
+    assert np.isfinite(out).all()
+
+
 def test_quantize_refuses_empty():
     with pytest.raises(ValueError):
         quantize_params_int8({"downstream_head1": {"proj": {

@@ -45,6 +45,7 @@ class InferenceEngine:
         int8_group_size: Optional[int] = None,
         int8_skip: tuple = (),
         int8_only: tuple = (),
+        int8_equalize: bool = False,
     ):
         if quantize_int8 and config.attention_impl == "auto":
             # Deferred softmax normalization (the bf16 'auto' default) breaks
@@ -72,12 +73,18 @@ class InferenceEngine:
             # trunk GEMMs — docs/PERF.md). Accuracy-gated: tests bound the
             # tiny-model depth drift and the parity harness enforces the
             # BASELINE 1%-AbsRel criterion before this may serve.
-            from thermal3d.kernels.quant import quantize_params_int8
+            from thermal3d.kernels.quant import (equalize_ln_gemm,
+                                                 quantize_params_int8)
 
             # int8_group_size: finer weight scales, measured NOT to reduce
             # drift on this model (docs/INT8_SWEEP.md — the drift lever is
             # int8_only/scope); int8_skip holds named layers in float
             # (scripts/int8_sensitivity.py ranks them) — PARITY.md frontier.
+            if int8_equalize:
+                # SmoothQuant-style LN→GEMM fold: exact reparameterization,
+                # damps activation outlier channels before dynamic quant
+                params = equalize_ln_gemm(params, only=int8_only,
+                                          skip=int8_skip)
             params, self.quant = quantize_params_int8(
                 params, group_size=int8_group_size, skip=int8_skip,
                 only=int8_only)

@@ -115,6 +115,99 @@ def quantize_kernel(w: jnp.ndarray, group_size: Optional[int] = None
     return wq.reshape(k, n).astype(jnp.int8), ws
 
 
+def _equalize_block(b: Dict, only: Collection[str], alpha: float
+                    ) -> Tuple[Dict, int]:
+    """Equalize one block subtree (returns a modified copy + pair count).
+
+    Works identically on unrolled ([C]/[C,N]) and scan-stacked ([L,C]/[L,C,N])
+    leaves — every op broadcasts over the leading depth axis."""
+
+    def want(name):
+        return not only or name in only
+
+    pairs = []
+    if "attn" in b and "norm1" in b and want("qkv"):
+        pairs.append(("norm1", [("attn", "qkv")]))
+    if "cross_attn" in b:
+        if "norm2" in b and want("projq"):
+            pairs.append(("norm2", [("cross_attn", "projq")]))
+        kv = [("cross_attn", n) for n in ("projk", "projv") if want(n)]
+        if "norm_y" in b and kv:
+            # norm_y feeds BOTH k and v projections: one shared s serves both
+            pairs.append(("norm_y", kv))
+        if "norm3" in b and "mlp" in b and want("fc1"):
+            pairs.append(("norm3", [("mlp", "fc1")]))
+    elif "mlp" in b and "norm2" in b and want("fc1"):
+        pairs.append(("norm2", [("mlp", "fc1")]))
+
+    b = dict(b)
+    n = 0
+    for ln_name, targets in pairs:
+        ln = b[ln_name]
+        g = jnp.asarray(ln["scale"], jnp.float32)
+        be = jnp.asarray(ln["bias"], jnp.float32)
+        # LN output channel-j magnitude proxy: tokens are ~N(0,1) per channel
+        # before the affine, so absmax_j ≈ c·|γ_j| + |β_j| with c uniform in j
+        a = jnp.abs(g) + jnp.abs(be) + 1e-6
+        w = None
+        for mod, ker_name in targets:
+            kmax = jnp.max(jnp.abs(jnp.asarray(b[mod][ker_name]["kernel"],
+                                               jnp.float32)), axis=-1)
+            w = kmax if w is None else jnp.maximum(w, kmax)
+        s = (a ** alpha) / (w + 1e-6) ** (1.0 - alpha)
+        s = jnp.clip(s, 1e-2, 1e2)  # keep the reparameterization well-scaled
+        b[ln_name] = {**ln, "scale": (g / s).astype(ln["scale"].dtype),
+                      "bias": (be / s).astype(ln["bias"].dtype)}
+        for mod, ker_name in targets:
+            ker = b[mod][ker_name]["kernel"]
+            newk = (jnp.asarray(ker, jnp.float32)
+                    * s[..., :, None]).astype(ker.dtype)
+            b[mod] = {**b[mod],
+                      ker_name: {**b[mod][ker_name], "kernel": newk}}
+            n += 1
+    return b, n
+
+
+def equalize_ln_gemm(params: Dict, only: Collection[str] = (),
+                     skip: Collection[str] = (), alpha: float = 0.5) -> Dict:
+    """SmoothQuant-style LN→GEMM equalization (exact reparameterization,
+    zero runtime cost) for the int8 activation-quant noise.
+
+    For every LN→GEMM pair in the trunk (enc: norm1→qkv, norm2→fc1; dec:
+    norm1→qkv, norm2→projq, norm_y→projk+projv, norm3→fc1) fold a
+    per-input-channel scale s into the LayerNorm affine (γ/s, β/s) and the
+    GEMM kernel rows (s·W): LN'(x) @ W' == LN(x) @ W exactly, while the
+    per-token activation absmax — the int8 dynamic-quant scale — shrinks by
+    however much the outlier channels are damped. s_j = a_j^α / w_j^(1-α)
+    (SmoothQuant, α=0.5), with a_j = |γ_j|+|β_j| as the LN output magnitude
+    proxy and w_j the kernel row absmax. fc2/proj have no preceding affine
+    and cannot be equalized. `only`/`skip` use quantize_params_int8
+    semantics so exactly the quantized GEMMs get folded."""
+    out = dict(params)
+    total = 0
+    for top, sub in params.items():
+        if top in skip:
+            continue
+        if top.startswith(("enc_blocks", "dec_blocks")):
+            out[top], n = _equalize_block(sub, only, alpha)
+            total += n
+        elif top == "enc_scan":
+            blk, n = _equalize_block(sub["blk"], only, alpha)
+            out[top] = {**sub, "blk": blk}
+            total += n
+        elif top == "dec_scan":
+            new = dict(sub)
+            for k in ("blk1", "blk2"):
+                new[k], n = _equalize_block(sub[k], only, alpha)
+                total += n
+            out[top] = new
+    if not total:
+        raise ValueError("no equalizable LN→GEMM pairs found "
+                         "(only fc1/qkv/projq/projk/projv have a preceding "
+                         "LayerNorm affine)")
+    return out
+
+
 def _targeted(path: Tuple[str, ...], skip: Collection[str],
               only: Collection[str]) -> bool:
     top = path[0]
