@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true",
                    help="int8 MXU serving mode (~1.2x faster; opt-in, "
                         "drift-gated — see PARITY.md)")
+    p.add_argument("--int8_equalize", action="store_true",
+                   help="SmoothQuant-style LN-to-GEMM equalization before "
+                        "quantizing (exact, zero runtime cost; damps trained "
+                        "activation outlier channels — docs/INT8_SWEEP.md)")
     p.add_argument("--model_variant", type=str, default="dustr224_linear",
                    choices=["dustr224_linear", "dustr512_dpt",
                             "mastr512_catmlpdpt"],
@@ -111,7 +115,8 @@ def main(argv=None):
                              thermal_head_params=head_params,
                              quantize_int8=args.int8,
                              int8_group_size=args.int8_group_size,
-                             int8_only=SCOPE_TO_ONLY[args.int8_scope])
+                             int8_only=SCOPE_TO_ONLY[args.int8_scope],
+                             int8_equalize=args.int8_equalize)
     os.makedirs(args.output_dir, exist_ok=True)
 
     if os.path.isdir(args.img_path):
