@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8_scope", type=str, default="all",
                    help="int8 scope; at S=1024 only 'all' wins — fc1 is "
                         "speed-neutral there (docs/INT8_SWEEP.md 512 section)")
+    p.add_argument("--int8_equalize", action="store_true",
+                   help="SmoothQuant-style LN-to-GEMM fold before quantizing "
+                        "(exact, zero cost; helps with trained weights)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
@@ -64,7 +67,8 @@ def main(argv=None):
         from thermal3d.kernels.quant import SCOPE_TO_ONLY
 
         int8_kw = {"quantize_int8": True,
-                   "int8_only": SCOPE_TO_ONLY[args.int8_scope]}
+                   "int8_only": SCOPE_TO_ONLY[args.int8_scope],
+                   "int8_equalize": args.int8_equalize}
     gen = PseudoGTGenerator(config, params=params, batch_size=args.batch_size,
                             calib_file=args.calib_file, **int8_kw)
 

@@ -48,7 +48,8 @@ class PseudoGTGenerator:
                  split_programs: bool = False, params_dtype: Optional[str] = None,
                  quantize_int8: bool = False,
                  int8_group_size: Optional[int] = None,
-                 int8_skip: tuple = (), int8_only: tuple = ()):
+                 int8_skip: tuple = (), int8_only: tuple = (),
+                 int8_equalize: bool = False):
         """split_programs: compile encoder and decoder+heads+geometry as TWO
         programs instead of one — same numerics, one extra HBM round-trip of
         the encoder features, but each XLA compile is roughly half the size
@@ -77,8 +78,12 @@ class PseudoGTGenerator:
             params = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
         self.quant = None
         if quantize_int8:
-            from thermal3d.kernels.quant import quantize_params_int8
+            from thermal3d.kernels.quant import (equalize_ln_gemm,
+                                                 quantize_params_int8)
 
+            if int8_equalize:  # exact LN→GEMM fold (see engine / quant.py)
+                params = equalize_ln_gemm(params, only=int8_only,
+                                          skip=int8_skip)
             params, self.quant = quantize_params_int8(
                 params, group_size=int8_group_size, skip=int8_skip,
                 only=int8_only)
