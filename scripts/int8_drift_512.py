@@ -37,10 +37,18 @@ rgb2 = np.asarray(jax.random.uniform(ks[1], (batch, h, w, 3)))
 
 ref = gen.run_pairs(rgb1, rgb2)
 
-for scope in ("fc1", "all"):
+# scan-layout skip names whole stacked trunks: enc_only/dec_only locate
+# WHERE the 512 drift accumulates (encoder stack vs decoder+embed)
+CONFIGS = [
+    ("fc1", {"int8_only": SCOPE_TO_ONLY["fc1"]}),
+    ("all", {}),
+    ("enc_only", {"int8_skip": ("dec_scan", "decoder_embed")}),
+    ("dec_only", {"int8_skip": ("enc_scan",)}),
+]
+
+for scope, kw in CONFIGS:
     g8 = PseudoGTGenerator(config, params=gen.params, batch_size=batch,
-                           quantize_int8=True,
-                           int8_only=SCOPE_TO_ONLY[scope])
+                           quantize_int8=True, **kw)
     out = g8.run_pairs(rgb1, rgb2)
     row = {"scope": scope}
     for k in ("depth1", "depth2", "confidence1"):
