@@ -236,6 +236,24 @@ def test_equalize_ln_gemm_is_exact(rng, tiny_config):
                            params["enc_blocks_0"]["norm1"]["scale"])
 
 
+def test_equalize_respects_only(rng, tiny_config):
+    """only=('fc1',) folds exactly the norm→fc1 pairs: qkv kernels and
+    norm1 stay byte-identical."""
+    from thermal3d.kernels.quant import equalize_ln_gemm
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    h, w = tiny_config.img_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.key(0), dummy, dummy)["params"]
+    eq = equalize_ln_gemm(params, only=("fc1",))
+    b0, e0 = params["enc_blocks_0"], eq["enc_blocks_0"]
+    assert np.array_equal(e0["attn"]["qkv"]["kernel"], b0["attn"]["qkv"]["kernel"])
+    assert np.array_equal(e0["norm1"]["scale"], b0["norm1"]["scale"])
+    assert not np.allclose(e0["mlp"]["fc1"]["kernel"], b0["mlp"]["fc1"]["kernel"])
+    assert not np.allclose(e0["norm2"]["scale"], b0["norm2"]["scale"])
+
+
 def test_engine_int8_equalize_runs(rng, tiny_config):
     from thermal3d.infer.engine import InferenceEngine
 
