@@ -24,14 +24,15 @@ def _warmup_with_retry(fn):
     """Run `fn` once, retrying transient remote-compile transport failures
     (this harness's compile service can drop long-lived connections)."""
     last_err = None
-    for _ in range(4):
+    for attempt in range(4):
         try:
             return fn()
         except Exception as e:  # jax.errors.JaxRuntimeError UNAVAILABLE
             last_err = e
             if "UNAVAILABLE" not in str(e) and "transport" not in str(e):
                 raise
-            time.sleep(60)
+            if attempt < 3:  # no point sleeping before the final re-raise
+                time.sleep(60)
     raise last_err
 
 
@@ -109,6 +110,12 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
     --scan rolls the layer stacks into lax.scan (config.scan_layers): same
     numerics, ~10× smaller HLO — the knob that lets this program compile
     through the dev harness's slow relay (docs/PERF.md)."""
+    if chained and split:
+        # the chain jits the whole step into ONE fori_loop program, which
+        # would inline (and so defeat) the split's two smaller compiles
+        raise SystemExit("--chained and --split are incompatible: the "
+                         "chained driver compiles one whole-step program; "
+                         "use --scan for small chained compiles instead")
     import dataclasses as dc
 
     import jax
@@ -304,12 +311,12 @@ def main():
     elif "--attn-fast" in sys.argv:
         attn = "xla_bf16_scores"
 
-    if use_int8 and attn == "auto":
-        # postscale softmax (bf16 'auto' default) breaks the int8 dynamic-
-        # quant fusion of the next projection: 633 vs 750 fps measured
-        # (docs/PERF.md round 3) — int8 pins the pre-divided form, matching
-        # InferenceEngine's dispatch.
-        attn = "xla_bf16_scores"
+    if use_int8:
+        # shared int8 attention policy (kernels/quant.py) — bench must
+        # measure the exact impl InferenceEngine serves
+        from thermal3d.kernels.quant import pin_attention_for_int8
+
+        attn = pin_attention_for_int8(attn)
     config = dataclasses.replace(DUSTR_224_LINEAR, compute_dtype="bfloat16",
                                  attention_impl=attn)
     model = AsymmetricCroCo3DStereo(config)

@@ -43,6 +43,35 @@ def test_dir_mode_gate_fails_on_drift(depth_pair, rng):
         main(["--ours_dir", str(ours), "--theirs_dir", str(theirs)])
 
 
+def test_half_specified_modes_fail_loudly(depth_pair):
+    """A CI gate must not print PASS when the intended comparison never ran:
+    half-specified modes are argparse errors, not silent skips."""
+    ours, _ = depth_pair
+    with pytest.raises(SystemExit):  # --ours_dir without --theirs_dir
+        main(["--ours_dir", str(ours)])
+    with pytest.raises(SystemExit):  # --int8 without --golden_dir
+        main(["--ours_dir", str(ours), "--theirs_dir", str(ours), "--int8"])
+
+
+def test_golden_mode_no_depth_match_is_gate_failure(tmp_path, rng):
+    """Thermal frames resolve but no *_depth.npy matches → FAIL, not
+    KeyError."""
+    import cv2
+
+    gdir = tmp_path / "golden"
+    gdir.mkdir()
+    png = tmp_path / "fl_ir_aligned_1570000000_12340_ir.png"
+    cv2.imwrite(str(png), rng.uniform(21000, 26000, (64, 80)).astype(np.uint16))
+    (gdir / "unrelated_name_rgb_thermal_path.txt").write_text(str(png))
+    np.save(gdir / "zzz_mismatched_depth.npy",
+            rng.uniform(1, 10, (8, 8)).astype(np.float32))
+    os.remove(gdir / "zzz_mismatched_depth.npy")  # no depth files at all
+    with pytest.raises(SystemExit):
+        main(["--golden_dir", str(gdir), "--model_preset", "tiny",
+              "--img_size", "64", "64", "--compute_dtype", "float32",
+              "--batch_size", "2"])
+
+
 def test_dir_mode_gate_fails_on_missing_frame(depth_pair):
     ours, theirs = depth_pair
     os.remove(ours / "f_1_depth.npy")  # reference frame we never produced

@@ -70,6 +70,14 @@ def main(argv=None):
                                              compare_engine_to_golden)
 
     args = build_parser().parse_args(argv)
+    # a CI gate must fail loudly on a half-specified comparison — a silently
+    # skipped mode would print PASS for a check that never ran
+    if bool(args.ours_dir) != bool(args.theirs_dir):
+        build_parser().error("--ours_dir and --theirs_dir must be given together")
+    if (args.int8 or args.reference_metrics or args.model) and not args.golden_dir:
+        build_parser().error(
+            "--int8/--reference_metrics/--model require --golden_dir "
+            "(they gate the golden-engine mode)")
     report, failures = {}, []
 
     if args.ours_dir and args.theirs_dir:
@@ -96,6 +104,9 @@ def main(argv=None):
             from thermal3d.cli.infer import _load_params
 
             params, head_params = _load_params(args.model, config)
+        from thermal3d.cli.common import apply_scan
+
+        config, params = apply_scan(config, params, args.scan_layers)
         remap = dict(s.split("=", 1) for s in args.remap) or None
         engine = _make_engine(args, config, params, head_params, int8=False)
         m = compare_engine_to_golden(engine, args.golden_dir,
@@ -103,8 +114,10 @@ def main(argv=None):
                                      max_frames=args.max_frames,
                                      batch_size=args.batch_size)
         report["golden_bf16"] = m
-        if "error" in m:
-            print(f"golden: {m['error']}")
+        if "error" in m or "abs_rel" not in m:
+            # {} = thermal frames resolved but no *_depth.npy matched — as
+            # much a gate failure as unresolvable frames (no KeyError below)
+            print(f"golden: {m.get('error', 'no golden depth files matched')}")
             failures.append("golden frames unresolvable")
         else:
             print(f"golden AbsRel (bf16): {m['abs_rel']:.5f}")

@@ -47,14 +47,13 @@ class InferenceEngine:
         int8_only: tuple = (),
         int8_equalize: bool = False,
     ):
-        if quantize_int8 and config.attention_impl == "auto":
-            # Deferred softmax normalization (the bf16 'auto' default) breaks
-            # the fusion of the post-PV division into the NEXT projection's
-            # dynamic int8 quantization pass: measured 633 vs 750 fps with
-            # the pre-divided form (docs/PERF.md round 3), so int8 serving
-            # pins the legacy formulation.
-            config = dataclasses.replace(config,
-                                         attention_impl="xla_bf16_scores")
+        if quantize_int8:
+            # shared int8 attention policy (rationale in kernels/quant.py)
+            from thermal3d.kernels.quant import pin_attention_for_int8
+
+            config = dataclasses.replace(
+                config,
+                attention_impl=pin_attention_for_int8(config.attention_impl))
         self.config = config
         self.model = AsymmetricCroCo3DStereo(config)
         h, w = config.img_size

@@ -50,6 +50,16 @@ from flax import traverse_util
 SCOPE_TO_ONLY = {"all": (), "mlp": ("fc1", "fc2"), "fc1": ("fc1",)}
 
 
+def pin_attention_for_int8(attention_impl: str) -> str:
+    """The ONE place the int8 attention policy lives (engine + bench share
+    it): deferred softmax normalization — the bf16 'auto' default — breaks
+    the fusion of the post-PV division into the NEXT projection's dynamic
+    int8 quantization pass (measured 633 vs 750 fps at batch 32, and
+    re-confirmed 745 vs 868 at batch 36 — docs/PERF.md), so int8 serving
+    pins the legacy pre-divided form. Explicit impls are respected."""
+    return "xla_bf16_scores" if attention_impl == "auto" else attention_impl
+
+
 def int8_dense(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
                out_dtype) -> jnp.ndarray:
     """x: [..., K] float; wq: [K, N] int8; ws: per-column scales — [N] f32
