@@ -31,6 +31,20 @@ def test_infer_parser():
     assert args2.img_path2 == "b.png" and args2.fire_scene and args2.refine_depth
 
 
+def test_int8_equalize_without_int8_is_an_error():
+    """--int8_equalize only acts inside the int8 branch; alone it would be a
+    silent no-op, so both CLIs reject it loudly (fail-loud convention)."""
+    import pytest
+
+    from thermal3d.cli import infer, pseudo_gt
+
+    with pytest.raises(SystemExit):
+        infer.main(["--img_path", "x.png", "--int8_equalize"])
+    with pytest.raises(SystemExit):
+        pseudo_gt.main(["--dataset_dir", "d", "--output_dir", "o",
+                        "--int8_equalize"])
+
+
 def test_evaluate_parser():
     from thermal3d.cli.evaluate import build_parser
 

@@ -110,6 +110,18 @@ def test_golden_mode_int8_gate(golden_set, tmp_path):
     assert "int8_abs_rel_drift" in json.load(open(rpt))
 
 
+def test_golden_mode_model_variant(golden_set, tmp_path):
+    """--model_variant selects the 512 DPT/catmlpdpt architectures (mirrors
+    cli.infer) so the gate can load those reference checkpoints too."""
+    rpt = tmp_path / "v.json"
+    report = main(["--golden_dir", str(golden_set),
+                   "--model_variant", "mastr512_catmlpdpt",
+                   "--model_preset", "tiny", "--img_size", "64", "64",
+                   "--compute_dtype", "float32", "--batch_size", "2",
+                   "--gate", "10.0", "--report", str(rpt)])
+    assert np.isfinite(report["golden_bf16"]["abs_rel"])
+
+
 def test_golden_mode_reference_metrics_gate_fails(golden_set, tmp_path):
     ref = tmp_path / "ref.json"
     ref.write_text(json.dumps({"abs_rel": 1e-6}))  # unreachable target

@@ -254,6 +254,25 @@ def test_equalize_respects_only(rng, tiny_config):
     assert not np.allclose(e0["norm2"]["scale"], b0["norm2"]["scale"])
 
 
+def test_equalize_keeps_folded_kernels_f32(tiny_config):
+    """With bf16 stored params the folded kernels must stay f32 until
+    quantize_params_int8 consumes them — casting back to bf16 would add
+    ~2^-8 relative rounding on every folded leaf before int8 quantization."""
+    from thermal3d.kernels.quant import equalize_ln_gemm
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    h, w = tiny_config.img_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(jax.random.key(0), dummy, dummy)["params"]
+    bf16 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    eq = equalize_ln_gemm(bf16)
+    assert eq["enc_blocks_0"]["mlp"]["fc1"]["kernel"].dtype == jnp.float32
+    assert eq["enc_blocks_0"]["attn"]["qkv"]["kernel"].dtype == jnp.float32
+    # untargeted leaves keep their storage dtype
+    assert eq["enc_blocks_0"]["mlp"]["fc2"]["kernel"].dtype == jnp.bfloat16
+
+
 def test_engine_int8_equalize_runs(rng, tiny_config):
     from thermal3d.infer.engine import InferenceEngine
 

@@ -96,6 +96,10 @@ def main(argv=None):
     from thermal3d.viz.panels import visualize_depth_result
 
     args = build_parser().parse_args(argv)
+    if args.int8_equalize and not args.int8:
+        # equalization only runs inside the int8 branch — alone it would be a
+        # silent no-op (fail-loud convention, matching cli.parity)
+        build_parser().error("--int8_equalize requires --int8")
     from thermal3d.cli.common import apply_preset
 
     base = {"dustr224_linear": DUSTR_224_LINEAR,

@@ -44,7 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="maximum allowed AbsRel (dir mode) / relative AbsRel drift")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=16)
-    p.add_argument("--img_size", type=int, nargs=2, default=[224, 224])
+    p.add_argument("--model_variant", type=str, default="dustr224_linear",
+                   choices=["dustr224_linear", "dustr512_dpt",
+                            "mastr512_catmlpdpt"],
+                   help="architecture of --model (mirrors cli.infer), so the "
+                        "gate can also load the 512 DPT/catmlpdpt reference "
+                        "checkpoints it is kept ready for")
+    p.add_argument("--img_size", type=int, nargs=2, default=None,
+                   help="defaults to the model variant's native resolution")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--report", type=str, default=None, help="write full JSON report here")
     from thermal3d.cli.common import add_preset_flag
@@ -95,9 +102,15 @@ def main(argv=None):
 
     if args.golden_dir:
         from thermal3d.cli.common import apply_preset
-        from thermal3d.core.config import DUSTR_224_LINEAR
+        from thermal3d.core.config import (DUSTR_224_LINEAR, DUSTR_512_DPT,
+                                           MASTR_512_CATMLPDPT)
 
-        config = apply_preset(DUSTR_224_LINEAR, args.model_preset,
+        base = {"dustr224_linear": DUSTR_224_LINEAR,
+                "dustr512_dpt": DUSTR_512_DPT,
+                "mastr512_catmlpdpt": MASTR_512_CATMLPDPT}[args.model_variant]
+        if args.img_size is None:
+            args.img_size = list(base.img_size)
+        config = apply_preset(base, args.model_preset,
                               args.img_size, args.compute_dtype)
         params = head_params = None  # no --model: random init (harness tests)
         if args.model:

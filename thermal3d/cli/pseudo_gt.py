@@ -48,6 +48,10 @@ def main(argv=None):
     from thermal3d.pseudo_gt.test_set import generate_test_set_pseudo_gt
 
     args = build_parser().parse_args(argv)
+    if args.int8_equalize and not args.int8:
+        # equalization only runs inside the int8 branch — alone it would be a
+        # silent no-op (fail-loud convention, matching cli.parity)
+        build_parser().error("--int8_equalize requires --int8")
     from thermal3d.cli.common import apply_preset
 
     config = apply_preset(MASTR_512_CATMLPDPT, args.model_preset, args.img_size,

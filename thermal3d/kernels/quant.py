@@ -170,8 +170,11 @@ def _equalize_block(b: Dict, only: Collection[str], alpha: float
                       "bias": (be / s).astype(ln["bias"].dtype)}
         for mod, ker_name in targets:
             ker = b[mod][ker_name]["kernel"]
-            newk = (jnp.asarray(ker, jnp.float32)
-                    * s[..., :, None]).astype(ker.dtype)
+            # folded kernels stay f32: quantize_params_int8 consumes them
+            # from float, and casting back to a bf16 storage dtype would add
+            # ~2^-8 relative rounding on every folded leaf before int8
+            # quantization — partially eating the fold's benefit
+            newk = jnp.asarray(ker, jnp.float32) * s[..., :, None]
             b[mod] = {**b[mod],
                       ker_name: {**b[mod][ker_name], "kernel": newk}}
             n += 1
