@@ -266,6 +266,12 @@ def main():
             attn_flag = a.split("=", 1)[1]
             sys.argv.remove(a)
 
+    ndev = 1
+    for a in list(sys.argv):
+        if a.startswith("--ndev="):
+            ndev = int(a.split("=", 1)[1])
+            sys.argv.remove(a)
+
     use_int8 = "--int8" in sys.argv
     int8_scope = "all"
     for a in list(sys.argv):
@@ -307,10 +313,14 @@ def main():
     from thermal3d.models.thermal_wrap import ThermalPreprocessHead
     from thermal3d.preprocess.enhance import enhance_thermal_contrast
 
+    import numpy as np
+
     serving_int8_only = int8_only() if use_int8 else ()
     # batch 36 is the measured round-3 optimum (median 732 vs 724 at 32;
-    # 24→720, 28→708, 40→710 — docs/PERF.md round-3 sweep)
-    batch = int(positional[0]) if positional else 36
+    # 24->720, 28->708, 40->710 -- docs/PERF.md round-3 sweep). --ndev=N
+    # scales the default to 36*N so per-chip work is unchanged in aggregate
+    # data-parallel mode.
+    batch = int(positional[0]) if positional else 36 * ndev
     # 30 chained iterations: enough to amortize this harness's per-run relay
     # dispatch/fetch overhead so the number measures the chip's steady state
     n_iters = int(positional[1]) if len(positional) > 1 else 30
@@ -324,21 +334,23 @@ def main():
         attn = "xla_bf16_scores"
 
     if use_int8:
-        # shared int8 attention policy (kernels/quant.py) — bench must
+        # shared int8 attention policy (kernels/quant.py) -- bench must
         # measure the exact impl InferenceEngine serves
         from thermal3d.kernels.quant import pin_attention_for_int8
 
         attn = pin_attention_for_int8(attn)
+    # --branch: branch-batched dual decoder (config.branch_batch) -- both
+    # decoder branches as one 2x-batch dispatch per layer (VERDICT r3 #3)
+    branch = "--branch" in sys.argv
     config = dataclasses.replace(DUSTR_224_LINEAR, compute_dtype="bfloat16",
-                                 attention_impl=attn)
+                                 attention_impl=attn, branch_batch=branch)
     model = AsymmetricCroCo3DStereo(config)
     head = ThermalPreprocessHead()
 
     h, w = config.img_size
-    raw0 = jnp.linspace(21000.0, 26000.0, batch * 320 * 416).reshape(batch, 320, 416) / 65535.0
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
     params = jax.jit(lambda k: model.init(k, dummy, dummy))(jax.random.key(0))["params"]
-    if bf16_params:  # store weights in compute dtype: no per-step f32→bf16 cast
+    if bf16_params:  # store weights in compute dtype: no per-step f32->bf16 cast
         params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     quant = None
     if use_int8:  # int8 MXU serving mode (accuracy-gated, tests/test_quant.py)
@@ -348,52 +360,103 @@ def main():
     head_params = jax.jit(lambda k: head.init(k, jnp.zeros((1, h, w, 3))))(
         jax.random.key(1))["params"]
 
+    mesh = None
+    if ndev > 1:
+        # aggregate data-parallel serving over an N-device mesh: params
+        # replicated, batch sharded on 'data' (the InferenceEngine mesh path)
+        from thermal3d.core.mesh import make_mesh, replicated_sharding
+
+        devs = jax.devices()
+        if len(devs) < ndev:
+            raise SystemExit(f"--ndev={ndev} but only {len(devs)} devices")
+        mesh = make_mesh((ndev,), ("data",), devices=devs[:ndev])
+        repl = replicated_sharding(mesh)
+        put = lambda x: jax.device_put(x, repl)  # noqa: E731
+        params = jax.tree_util.tree_map(put, params)
+        head_params = jax.tree_util.tree_map(put, head_params)
+        if quant is not None:
+            quant = jax.tree_util.tree_map(put, quant)
+
     from thermal3d.preprocess.resize import resize_bilinear_hw
 
-    @jax.jit
-    def step(params, quant, head_params, raw):
-        # full serving pipeline (thermal_dustr_inference.py:25-159); resize
-        # matches the engine path (matmul bilinear, no antialias — cv2.resize
-        # semantics, thermal_dustr_inference.py:47)
-        resized = resize_bilinear_hw(raw, (h, w))
-        enhanced = enhance_thermal_contrast(resized)  # [B,H,W,3]
-        x = head.apply({"params": head_params}, enhanced)
-        variables = {"params": params}
-        if quant is not None:
-            variables["quant"] = quant
-        pred1, _ = model.apply(variables, x, None)  # monocular
-        depth = pred1["pts3d"][..., 2]
-        # dependency chain: mix depth stats back into the next raw input
-        feedback = jnp.tanh(jnp.mean(depth, axis=(1, 2)))[:, None, None] * 1e-4
-        return depth, raw0 * (1.0 + feedback)
+    def serving_fps(b):
+        """End-to-end device serving fps at batch b (fresh compile per b)."""
+        raw0 = jnp.linspace(21000.0, 26000.0, b * 320 * 416).reshape(b, 320, 416) / 65535.0
+        if mesh is not None:
+            from thermal3d.core.mesh import data_sharding
 
-    def warm():
-        depth, raw = step(params, quant, head_params, raw0)
-        float(depth[0, 0, 0])
-        return depth, raw
+            if b % ndev:
+                raise SystemExit(f"batch {b} must be a multiple of --ndev={ndev}")
+            raw0 = jax.device_put(np.asarray(raw0), data_sharding(mesh, 3))
 
-    depth, raw = _warmup_with_retry(warm)
+        @jax.jit
+        def step(params, quant, head_params, raw):
+            # full serving pipeline (thermal_dustr_inference.py:25-159);
+            # resize matches the engine path (matmul bilinear, no antialias
+            # -- cv2.resize semantics, thermal_dustr_inference.py:47)
+            resized = resize_bilinear_hw(raw, (h, w))
+            enhanced = enhance_thermal_contrast(resized)  # [B,H,W,3]
+            x = head.apply({"params": head_params}, enhanced)
+            variables = {"params": params}
+            if quant is not None:
+                variables["quant"] = quant
+            pred1, _ = model.apply(variables, x, None)  # monocular
+            depth = pred1["pts3d"][..., 2]
+            # dependency chain: mix depth stats back into the next raw input
+            feedback = jnp.tanh(jnp.mean(depth, axis=(1, 2)))[:, None, None] * 1e-4
+            return depth, raw0 * (1.0 + feedback)
 
-    # best of two passes: this harness's TPU relay occasionally steals a
-    # chunk of one measurement window (observed: a 636 run amid 730-734s at
-    # identical config) — the MIN time is the contention-free estimate
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            depth, raw = step(params, quant, head_params, raw)
-        final = float(depth[0, 0, 0])  # forces the whole chain
-        dt = min(dt, time.perf_counter() - t0)
+        def warm():
+            depth, raw = step(params, quant, head_params, raw0)
+            float(depth[0, 0, 0])
+            return depth, raw
 
-    fps = batch * n_iters / dt
+        depth, raw = _warmup_with_retry(warm)
+
+        # best of two passes: this harness's TPU relay occasionally steals a
+        # chunk of one measurement window (observed: a 636 run amid 730-734s
+        # at identical config) -- the MIN time is the contention-free estimate
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                depth, raw = step(params, quant, head_params, raw)
+            float(depth[0, 0, 0])  # forces the whole chain
+            dt = min(dt, time.perf_counter() - t0)
+        return b * n_iters / dt
+
+    fps = serving_fps(batch)
     print(json.dumps({
-        "metric": "thermal_frames_per_sec_per_chip_dustr224",
+        "metric": ("thermal_frames_per_sec_per_chip_dustr224" if ndev == 1
+                   else "thermal_frames_per_sec_aggregate_dustr224"),
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 500.0, 3),
+        # the 500-fps BASELINE target is per chip; aggregate mode compares
+        # its per-chip share so the ratio stays meaningful at any N
+        "vs_baseline": round(fps / ndev / 500.0, 3),
+        **({"ndev": ndev, "per_chip": round(fps / ndev, 2)} if ndev > 1 else {}),
         **({"int8": True} if use_int8 else {}),
+        **({"branch": True} if branch else {}),
     }))
 
+    if "--resweep" in sys.argv:
+        # staleness guard for the hard-coded batch-36 optimum (an XLA
+        # per-shape tiling artifact, docs/PERF.md): re-measure the +-2
+        # neighbors and warn on stderr when the default is no longer optimal
+        # -- run after any XLA/libtpu upgrade. stdout stays ONE json line.
+        step_sz = 2 * ndev
+        for nb in (batch - step_sz, batch + step_sz):
+            if nb <= 0:
+                continue
+            nfps = serving_fps(nb)
+            verdict = "OK" if nfps <= fps * 1.01 else "BEATS DEFAULT"
+            print(f"resweep: batch {nb} -> {nfps:.1f} fps [{verdict}]",
+                  file=sys.stderr)
+            if nfps > fps * 1.01:
+                print(f"WARNING: batch {nb} beats the default {batch} "
+                      f"({nfps:.1f} vs {fps:.1f} fps) -- the compiled-shape "
+                      "optimum moved; re-run the fine sweep and update the "
+                      "defaults (docs/PERF.md)", file=sys.stderr)
 
 if __name__ == "__main__":
     main()

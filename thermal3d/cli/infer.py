@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["dustr224_linear", "dustr512_dpt",
                             "mastr512_catmlpdpt"],
                    help="model family member (checkpoint architecture)")
+    p.add_argument("--ndev", type=int, default=1,
+                   help="data-parallel serving over the first N local "
+                        "devices (params replicated, batch sharded on a "
+                        "1-D mesh; batch_size must be a multiple of N)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
@@ -114,13 +118,26 @@ def main(argv=None):
     from thermal3d.cli.common import apply_scan
 
     config, params = apply_scan(config, params, args.scan_layers)
+    mesh = None
+    if args.ndev > 1:
+        if args.batch_size % args.ndev:
+            build_parser().error(
+                f"--batch_size {args.batch_size} must be a multiple of "
+                f"--ndev {args.ndev}")
+        from thermal3d.core.mesh import make_mesh
+
+        import jax
+
+        mesh = make_mesh((args.ndev,), ("data",),
+                         devices=jax.devices()[:args.ndev])
     engine = InferenceEngine(config, params=params,
                              use_thermal_head=not args.no_thermal_model,
                              thermal_head_params=head_params,
                              quantize_int8=args.int8,
                              int8_group_size=args.int8_group_size,
                              int8_only=SCOPE_TO_ONLY[args.int8_scope],
-                             int8_equalize=args.int8_equalize)
+                             int8_equalize=args.int8_equalize,
+                             mesh=mesh)
     os.makedirs(args.output_dir, exist_ok=True)
 
     if os.path.isdir(args.img_path):
@@ -154,7 +171,11 @@ def main(argv=None):
             _save_one(args, out, 0, path, engine)
         return
 
-    out = engine.infer_paths(paths, batch_size=args.batch_size)
+    # depth-only device fetch when no visualization is wanted (~7× less
+    # device→host traffic; confidence is only read by the vis panel)
+    outputs = ("depth",) if args.no_vis else ("depth", "confidence1")
+    out = engine.infer_paths(paths, batch_size=args.batch_size,
+                             outputs=outputs)
     # zip against the SURVIVING paths (failed decodes are dropped, so pairing
     # with the input list would save depths under wrong basenames)
     for i, path in enumerate(out.get("paths", [])):

@@ -89,11 +89,27 @@ def reconstruct_architecture(state: Dict[str, np.ndarray]) -> Dict:
     return arch
 
 
-def validate_against_config(state: Dict[str, np.ndarray], config) -> Dict:
-    from thermal3d.convert.torch_to_flax import expected_torch_keys
+def validate_against_config(state: Dict[str, np.ndarray], config,
+                            released: bool = True) -> Dict:
+    """Diff a state dict against the key/shape spec. released=True validates
+    against the REAL checkpoint inventory (released_checkpoint_keys: croco
+    mask_token + the checkpoint's native decoder depth, inferred from the
+    state itself) so a genuine naver .pth reports clean; released=False uses
+    the bare model spec (expected_torch_keys)."""
+    from thermal3d.convert.torch_to_flax import (expected_torch_keys,
+                                                 released_checkpoint_keys)
 
-    expected = expected_torch_keys(config)
-    missing = sorted(set(expected) - set(state))
+    if released:
+        dec_idx = [int(k.split(".")[1]) for k in state
+                   if k.startswith(("dec_blocks.", "dec_blocks2."))]
+        ckpt_depth = max(dec_idx) + 1 if dec_idx else config.dec_depth
+        expected = released_checkpoint_keys(
+            config, ckpt_dec_depth=max(ckpt_depth, config.dec_depth))
+    else:
+        expected = expected_torch_keys(config)
+    # mask_token is optional: present in released naver checkpoints, absent
+    # from re-saved fine-tunes (the model never consumes it either way)
+    missing = sorted(set(expected) - set(state) - {"mask_token"})
     unexpected = sorted(set(state) - set(expected))
     shape_mismatches = {
         k: (tuple(np.asarray(state[k]).shape), expected[k])

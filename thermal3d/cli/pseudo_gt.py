@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8_equalize", action="store_true",
                    help="SmoothQuant-style LN-to-GEMM fold before quantizing "
                         "(exact, zero cost; helps with trained weights)")
+    p.add_argument("--ndev", type=int, default=1,
+                   help="data-parallel generation over the first N local "
+                        "devices (params replicated, pair batches sharded; "
+                        "batch_size must be a multiple of N)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
@@ -73,8 +77,20 @@ def main(argv=None):
         int8_kw = {"quantize_int8": True,
                    "int8_only": SCOPE_TO_ONLY[args.int8_scope],
                    "int8_equalize": args.int8_equalize}
+    mesh = None
+    if args.ndev > 1:
+        if args.batch_size % args.ndev:
+            build_parser().error(
+                f"--batch_size {args.batch_size} must be a multiple of "
+                f"--ndev {args.ndev}")
+        import jax
+
+        from thermal3d.core.mesh import make_mesh
+
+        mesh = make_mesh((args.ndev,), ("data",),
+                         devices=jax.devices()[:args.ndev])
     gen = PseudoGTGenerator(config, params=params, batch_size=args.batch_size,
-                            calib_file=args.calib_file, **int8_kw)
+                            calib_file=args.calib_file, mesh=mesh, **int8_kw)
 
     if args.test_set:
         frames = build_rgb_thermal_index(args.dataset_dir)

@@ -126,6 +126,7 @@ def convert_state_dict(
     state: Dict[str, np.ndarray],
     config: DustrModelConfig,
     wrapper: bool = False,
+    strict: bool = False,
 ) -> Tuple[Dict, Dict[str, list]]:
     """Convert a torch state dict (tensor or ndarray values) to a flax
     params tree for AsymmetricCroCo3DStereo (or ThermalDUSt3R if wrapper).
@@ -133,7 +134,13 @@ def convert_state_dict(
     Returns (params_tree, report) where report lists 'converted', 'skipped'
     (known-irrelevant: buffers, croco mask_token, out-of-depth blocks — the
     reference loads non-strict, thermal_dustr_model.py:51), and 'unknown'.
-    """
+
+    strict=True fails loudly with an actionable diff when the checkpoint
+    contains keys the converter does not understand ('unknown') or lacks
+    tensors the model requires — the guard for real released checkpoints,
+    whose key families (croco mask_token, 12-deep decoder stacks, both
+    downstream_head naming families) are enumerated by
+    released_checkpoint_keys()."""
     head_type = config.head.head_type
     tree: Dict = {}
     report = {"converted": [], "skipped": [], "unknown": []}
@@ -199,6 +206,31 @@ def convert_state_dict(
         _set(tree, dest_prefix + path, arr)
         report["converted"].append(key)
 
+    if strict:
+        # converted source names, normalized to the bare-model namespace
+        seen = {k[len("model."):] if wrapper and k.startswith("model.") else k
+                for k in report["converted"]}
+        missing = sorted(set(expected_torch_keys(config)) - seen)
+        problems = []
+        if report["unknown"]:
+            problems.append(
+                f"{len(report['unknown'])} unknown key(s) the converter does "
+                f"not understand: {report['unknown'][:10]}"
+                + (" …" if len(report["unknown"]) > 10 else ""))
+        if missing:
+            problems.append(
+                f"{len(missing)} required tensor(s) missing from the "
+                f"checkpoint: {missing[:10]}"
+                + (" …" if len(missing) > 10 else ""))
+        if problems:
+            raise ValueError(
+                "strict checkpoint conversion failed:\n  "
+                + "\n  ".join(problems)
+                + "\nCompare against convert.released_checkpoint_keys(config)"
+                  " / expected_torch_keys(config), or convert with"
+                  " strict=False to reproduce the reference's non-strict"
+                  " loading (thermal_dustr_model.py:51).")
+
     return tree, report
 
 
@@ -215,14 +247,17 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return ckpt
 
 
-def convert_checkpoint(path: str, config: DustrModelConfig, wrapper: Optional[bool] = None):
+def convert_checkpoint(path: str, config: DustrModelConfig,
+                       wrapper: Optional[bool] = None, strict: bool = False):
     """Full conversion: .pth file → {'params': tree}. wrapper=None
-    auto-detects ThermalDUSt3R checkpoints by their 'model.'/edge_weight keys."""
+    auto-detects ThermalDUSt3R checkpoints by their 'model.'/edge_weight keys.
+    strict=True fails loudly on unknown/missing keys (see convert_state_dict)."""
     state = load_torch_checkpoint(path)
     if wrapper is None:
         wrapper = any(k.startswith("model.") or k in ("edge_weight", "temp_scale")
                       for k in state)
-    tree, report = convert_state_dict(state, config, wrapper=wrapper)
+    tree, report = convert_state_dict(state, config, wrapper=wrapper,
+                                      strict=strict)
     return {"params": tree}, report
 
 
@@ -322,4 +357,35 @@ def expected_torch_keys(config: DustrModelConfig) -> Dict[str, Tuple[int, ...]]:
             keys[f"{h}.head_local_features.fc1.bias"] = (hid,)
             keys[f"{h}.head_local_features.fc2.weight"] = (nout, hid)
             keys[f"{h}.head_local_features.fc2.bias"] = (nout,)
+    return keys
+
+
+def released_checkpoint_keys(config: DustrModelConfig,
+                             ckpt_dec_depth: Optional[int] = None
+                             ) -> Dict[str, Tuple[int, ...]]:
+    """name → shape inventory of a REAL released naver checkpoint for this
+    architecture — expected_torch_keys() plus the key families a genuine
+    `DUSt3R_ViTLarge_BaseDecoder_224_linear.pth` / MASt3R `.pth` carries that
+    the model itself never consumes:
+
+      * `mask_token` [1, 1, dec_embed_dim] — croco's masked-pretraining
+        token, retained by dust3r's CroCoNet base (the reference loads it
+        non-strict and never uses it, thermal_dustr_model.py:49-56);
+      * the checkpoint's NATIVE decoder depth (default 12): the official
+        224-linear checkpoint carries dec_blocks/dec_blocks2 0..11 while the
+        reference builds dec_depth=8 and silently truncates (the strict=False
+        quirk, core/config.py DUSTR_224_LINEAR note).
+
+    RoPE is parameter-free in croco ('RoPE100'), so there are no pos-embed or
+    rope buffer entries, and dust3r deletes croco's `prediction_head`; the
+    converter still tolerates both names for croco-pretrained checkpoints.
+    Use this inventory (not expected_torch_keys) to validate a real released
+    file: `cli.model_info --validate` reports clean against it."""
+    import dataclasses
+
+    if ckpt_dec_depth is None:
+        ckpt_dec_depth = max(config.dec_depth, 12)
+    full = dataclasses.replace(config, dec_depth=ckpt_dec_depth)
+    keys = expected_torch_keys(full)
+    keys["mask_token"] = (1, 1, config.dec_embed_dim)
     return keys

@@ -87,6 +87,15 @@ class DustrModelConfig:
     # Not combined with tensor parallelism (stacked kernels are rank-3; the
     # 'model'-axis partition specs in core/mesh.py only cover rank-2).
     scan_layers: bool = False
+    # branch-batched dual decoder: evaluate the two decoder branches
+    # (dec_blocks / dec_blocks2 — the per-view stacks the reference's model
+    # dispatches separately every layer, scripts/model_info.py:209,296-300)
+    # as ONE 2×-batch dispatch per attention/MLP via nn.vmap over stacked
+    # branch params [2, ...]. Halves kernel launches in the launch-bound
+    # S=196 serving regime (docs/PERF.md round-4 measurement). Param trees
+    # convert with models.scan_params.{to,from}_branch_params. Mutually
+    # exclusive with scan_layers.
+    branch_batch: bool = False
 
     @property
     def patch_grid(self) -> Tuple[int, int]:

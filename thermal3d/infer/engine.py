@@ -31,6 +31,14 @@ class InferenceEngine:
     use_thermal_head replicates wrapping with ThermalDUSt3R at inference
     (thermal_dustr_inference.py:95-96). Monocular mode feeds view1 as view2
     (:87-92).
+
+    mesh: optional jax.sharding.Mesh for data-parallel serving — params are
+    replicated, batches are sharded on the 'data' axis, and XLA compiles one
+    SPMD program whose per-chip work is batch/n_data (the reference's
+    inference driver is single-GPU, thermal_dustr_inference.py:323-350; here
+    a slice serves N× the throughput). Numerics match single-device to float
+    tolerance (tests/test_engine.py — the per-shard program's fusion order
+    differs, so not bit-equal).
     """
 
     def __init__(
@@ -46,6 +54,7 @@ class InferenceEngine:
         int8_skip: tuple = (),
         int8_only: tuple = (),
         int8_equalize: bool = False,
+        mesh=None,
     ):
         if quantize_int8:
             # shared int8 attention policy (rationale in kernels/quant.py)
@@ -95,6 +104,21 @@ class InferenceEngine:
             thermal_head_params = self._thermal_head.init(jax.random.key(0), dummy)["params"]
         self.thermal_head_params = thermal_head_params
 
+        self.mesh = mesh
+        self._n_data = 1
+        if mesh is not None:
+            from thermal3d.core.mesh import replicated_sharding
+
+            self._n_data = int(mesh.shape.get("data", 1))
+            repl = replicated_sharding(mesh)
+            put = functools.partial(jax.device_put, device=repl)
+            self.params = jax.tree_util.tree_map(put, self.params)
+            if self.quant is not None:
+                self.quant = jax.tree_util.tree_map(put, self.quant)
+            if self.thermal_head_params is not None:
+                self.thermal_head_params = jax.tree_util.tree_map(
+                    put, self.thermal_head_params)
+
         self._forward = jax.jit(self._forward_impl, static_argnames=("monocular",))
 
     def _forward_impl(self, params, quant, head_params, img1, img2,
@@ -124,43 +148,102 @@ class InferenceEngine:
         resized = resize_bilinear_hw(grays, self.config.img_size)
         return enhance_thermal_contrast(resized)
 
+    def _shard(self, img):
+        """Place one image batch onto the mesh, sharded on 'data' (no-op
+        without a mesh): everything downstream of a sharded input — the
+        jitted preprocess and forward — then compiles SPMD."""
+        if self.mesh is None or img is None:
+            return jnp.asarray(img) if img is not None else None
+        from thermal3d.core.mesh import data_sharding
+
+        img = np.asarray(img)
+        if img.shape[0] % self._n_data:
+            raise ValueError(
+                f"batch size {img.shape[0]} not divisible by the mesh's "
+                f"data-parallel size {self._n_data}")
+        return jax.device_put(img, data_sharding(self.mesh, img.ndim))
+
     def infer(self, img1: np.ndarray, img2: Optional[np.ndarray] = None,
               preprocessed: bool = False) -> Dict[str, np.ndarray]:
         """img*: [B, h, w] raw grayscale or [B, H, W, 3] preprocessed."""
-        if not preprocessed:
-            img1 = self._preprocess(jnp.asarray(img1))
-            img2 = self._preprocess(jnp.asarray(img2)) if img2 is not None else None
-        monocular = img2 is None
-        out = self._forward(self.params, self.quant, self.thermal_head_params,
-                            img1, img1 if monocular else img2, monocular)
+        out = self.infer_async(img1, img2, preprocessed)
         return {k: np.asarray(v) for k, v in out.items()}
 
+    def infer_async(self, img1: np.ndarray, img2: Optional[np.ndarray] = None,
+                    preprocessed: bool = False) -> Dict[str, jnp.ndarray]:
+        """Like infer() but returns DEVICE arrays without blocking on the
+        result — jax's async dispatch lets the caller queue the next batch's
+        host work (decode) while this one computes (infer_paths pipelining)."""
+        img1, img2 = self._shard(img1), self._shard(img2)
+        if not preprocessed:
+            img1 = self._preprocess(img1)
+            img2 = self._preprocess(img2) if img2 is not None else None
+        monocular = img2 is None
+        return self._forward(self.params, self.quant, self.thermal_head_params,
+                             img1, img1 if monocular else img2, monocular)
+
     def infer_paths(self, paths: List[str], batch_size: int = 36,
-                    pad_final: bool = True) -> Dict[str, np.ndarray]:
+                    pad_final: bool = True, outputs: Optional[tuple] = None,
+                    prefetch: int = 2) -> Dict[str, np.ndarray]:
         """Directory-batch monocular depth over a list of thermal frames
-        (thermal_dustr_inference.py:323-350), batched + device-pipelined.
+        (thermal_dustr_inference.py:323-350), fully pipelined: a background
+        thread decodes batches i+1..i+prefetch (native C++ loader) while the
+        device computes batch i, and batch i's results are fetched only AFTER
+        batch i+1 has been dispatched — host decode, device compute, and
+        device→host fetch all overlap. Results are bit-identical to the
+        serial decode→infer→fetch loop (tests/test_engine.py).
+
+        outputs: optional key subset to fetch, e.g. ("depth",) — the full
+        pointmaps+confidences are ~29 MB per 36-frame batch over the host
+        link; depth-only cuts the fetch ~7×.
 
         The returned dict carries a "paths" list of the frames that actually
         decoded, row-aligned with every array — callers must zip against it,
         not the input list, since failed decodes are dropped."""
+        import collections
+        import concurrent.futures as cf
+
         from thermal3d.preprocess.io import load_thermal_images_batch
+
+        chunks = [paths[i : i + batch_size]
+                  for i in range(0, len(paths), batch_size)]
+
+        def decode(chunk):
+            # the native loader parallelizes within the batch; one pipeline
+            # thread is enough to hide decode behind device compute
+            return load_thermal_images_batch(
+                chunk, normalize=True, out_hw=self.config.img_size)
 
         outs: List[Dict[str, np.ndarray]] = []
         ok_paths: List[str] = []
-        n = len(paths)
-        for i in range(0, n, batch_size):
-            chunk = paths[i : i + batch_size]
-            grays, survivors = load_thermal_images_batch(
-                chunk, normalize=True, out_hw=self.config.img_size)
-            if not grays:
-                continue
-            real = len(grays)
-            ok_paths.extend(survivors)
-            if pad_final and real < batch_size:
-                grays = list(grays) + [grays[-1]] * (batch_size - real)
-            stack = np.stack(grays)
-            out = self.infer(stack)
-            outs.append({k: v[:real] for k, v in out.items()})
+
+        def fetch(dev_out, real):
+            sel = dev_out if outputs is None else {
+                k: dev_out[k] for k in outputs}
+            outs.append({k: np.asarray(v)[:real] for k, v in sel.items()})
+
+        inflight = None  # (device output dict, real row count)
+        with cf.ThreadPoolExecutor(1) as pool:
+            pending: collections.deque = collections.deque(
+                pool.submit(decode, c) for c in chunks[: prefetch + 1])
+            next_i = len(pending)
+            for _ in range(len(chunks)):
+                grays, survivors = pending.popleft().result()
+                if next_i < len(chunks):
+                    pending.append(pool.submit(decode, chunks[next_i]))
+                    next_i += 1
+                if not grays:
+                    continue
+                real = len(grays)
+                ok_paths.extend(survivors)
+                if pad_final and real < batch_size:
+                    grays = list(grays) + [grays[-1]] * (batch_size - real)
+                dev_out = self.infer_async(np.stack(grays))
+                if inflight is not None:  # fetch i-1 after dispatching i
+                    fetch(*inflight)
+                inflight = (dev_out, real)
+            if inflight is not None:
+                fetch(*inflight)
         if not outs:
             return {}
         result = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}

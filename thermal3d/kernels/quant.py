@@ -201,7 +201,9 @@ def equalize_ln_gemm(params: Dict, only: Collection[str] = (),
     for top, sub in params.items():
         if top in skip:
             continue
-        if top.startswith(("enc_blocks", "dec_blocks")):
+        if top.startswith(("enc_blocks", "dec_blocks", "dec_dual")):
+            # dec_dual_* leaves are branch-stacked [2,...]; _equalize_block
+            # broadcasts over any leading axis (same as the scan layout)
             out[top], n = _equalize_block(sub, only, alpha)
             total += n
         elif top == "enc_scan":
@@ -228,7 +230,7 @@ def _targeted(path: Tuple[str, ...], skip: Collection[str],
         return False
     if only and path[-2] not in only:
         return False
-    return (top.startswith(("enc_blocks", "dec_blocks"))
+    return (top.startswith(("enc_blocks", "dec_blocks", "dec_dual"))
             or top in ("decoder_embed", "enc_scan", "dec_scan"))
 
 
@@ -260,7 +262,11 @@ def quantize_params_int8(params: Dict, group_size: Optional[int] = None,
         # each block's [K,N] kernel on a leading depth axis → [L,K,N]; the
         # scales quantize per layer and stay stacked so nn.scan's
         # variable_axes={"quant": 0} slices them alongside the params
-        stacked = path[0] in ("enc_scan", "dec_scan") and ndim == 3
+        # dec_dual_* (branch-batched decoder, models/scan_params.py::
+        # to_branch_params) stacks the two branches' kernels the same way —
+        # [2,K,N] with nn.vmap's variable_axes={"quant": 0} slicing scales
+        stacked = ndim == 3 and (path[0] in ("enc_scan", "dec_scan")
+                                 or path[0].startswith("dec_dual"))
         if (path[-1] == "kernel" and (ndim == 2 or stacked)
                 and _targeted(path, skip, only)):
             # whole-column fallback for kernels whose K the group doesn't

@@ -90,6 +90,26 @@ class AsymmetricCroCo3DStereo(nn.Module):
         enc_cls = nn.remat(EncoderBlock) if cfg.remat else EncoderBlock
         dec_cls = nn.remat(DecoderBlock) if cfg.remat else DecoderBlock
         self.patch_embed = PatchEmbed(cfg.patch_size, cfg.enc_embed_dim, dt, name="patch_embed")
+        if cfg.branch_batch and cfg.scan_layers:
+            raise ValueError("branch_batch and scan_layers are mutually "
+                             "exclusive (pick one param layout)")
+        if cfg.branch_batch:
+            # both decoder branches as ONE vmapped block per layer: params
+            # stacked [2, ...] (blk1, blk2), tokens stacked [2, B, S, C] —
+            # every Dense lowers to a single batched dot_general and every
+            # attention to a single 2B-batch dispatch, halving launches in
+            # the launch-bound S=196 complex (VERDICT r3 next-#3)
+            DualBlock = nn.vmap(
+                dec_cls,
+                variable_axes={"params": 0, "quant": 0},
+                split_rngs={"params": True},
+                in_axes=(0, 0, None, None),
+            )
+            self.dec_dual = [
+                DualBlock(cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base,
+                          dt, cfg.attention_impl, name=f"dec_dual_{i}")
+                for i in range(cfg.dec_depth)
+            ]
         if cfg.scan_layers:
             scan_kw = dict(variable_axes={"params": 0, "quant": 0},
                            split_rngs={"params": True}, in_axes=nn.broadcast)
@@ -109,20 +129,21 @@ class AsymmetricCroCo3DStereo(nn.Module):
                 )
                 for i in range(cfg.enc_depth)
             ]
-            self.dec_blocks = [
-                dec_cls(
-                    cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
-                    name=f"dec_blocks_{i}",
-                )
-                for i in range(cfg.dec_depth)
-            ]
-            self.dec_blocks2 = [
-                dec_cls(
-                    cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
-                    name=f"dec_blocks2_{i}",
-                )
-                for i in range(cfg.dec_depth)
-            ]
+            if not cfg.branch_batch:
+                self.dec_blocks = [
+                    dec_cls(
+                        cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
+                        name=f"dec_blocks_{i}",
+                    )
+                    for i in range(cfg.dec_depth)
+                ]
+                self.dec_blocks2 = [
+                    dec_cls(
+                        cfg.dec_num_heads, cfg.mlp_ratio, cfg.rope_base, dt, cfg.attention_impl,
+                        name=f"dec_blocks2_{i}",
+                    )
+                    for i in range(cfg.dec_depth)
+                ]
         self.enc_norm = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="enc_norm")
         self.decoder_embed = QuantDense(cfg.dec_embed_dim, dtype=dt, name="decoder_embed")
         self.dec_norm = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="dec_norm")
@@ -160,7 +181,17 @@ class AsymmetricCroCo3DStereo(nn.Module):
         outs2 = [f2]
         x1 = self.decoder_embed(f1)
         x2 = self.decoder_embed(f2)
-        if self.config.scan_layers:
+        if self.config.branch_batch:
+            # tokens stacked on a leading branch axis; the "other view" each
+            # branch cross-attends to is the opposite branch's PREVIOUS
+            # tokens — exactly x flipped on the branch axis (croco
+            # interleaving preserved)
+            x = jnp.stack([x1, x2])  # [2, B, S, C]
+            for blk in self.dec_dual:
+                x = blk(x, x[::-1], pos, None)
+                outs1.append(x[0])
+                outs2.append(x[1])
+        elif self.config.scan_layers:
             _, (ys1, ys2) = self.dec_scan((x1, x2), pos)
             # ys: [L, B, S, C] stacked per-layer outputs → same hook list the
             # unrolled loop builds (DPT heads index into it)

@@ -43,6 +43,36 @@ def to_scan_params(params: dict, cfg: DustrModelConfig) -> dict:
     return out
 
 
+def to_branch_params(params: dict, cfg: DustrModelConfig) -> dict:
+    """Unrolled layout → branch-batched layout: each layer's (dec_blocks_i,
+    dec_blocks2_i) pair stacked on a leading axis of 2 under `dec_dual_i`
+    (config.branch_batch — one vmapped dispatch serves both decoder
+    branches). Encoder blocks and everything else pass through unchanged."""
+    layer_keys = {f"dec_blocks_{i}" for i in range(cfg.dec_depth)}
+    layer_keys |= {f"dec_blocks2_{i}" for i in range(cfg.dec_depth)}
+    missing = layer_keys - set(params)
+    if missing:
+        raise ValueError(f"params missing layer subtrees: {sorted(missing)}")
+    out = {k: v for k, v in params.items() if k not in layer_keys}
+    for i in range(cfg.dec_depth):
+        out[f"dec_dual_{i}"] = _stack(
+            [params[f"dec_blocks_{i}"], params[f"dec_blocks2_{i}"]])
+    return out
+
+
+def from_branch_params(params: dict, cfg: DustrModelConfig) -> dict:
+    """Branch-batched layout → unrolled (checkpoint-native) layout."""
+    if "dec_dual_0" not in params:
+        raise ValueError("params are not in branch layout (no dec_dual_0)")
+    out = {k: v for k, v in params.items()
+           if not k.startswith("dec_dual_")}
+    for i in range(cfg.dec_depth):
+        b1, b2 = _unstack(params[f"dec_dual_{i}"], 2)
+        out[f"dec_blocks_{i}"] = b1
+        out[f"dec_blocks2_{i}"] = b2
+    return out
+
+
 def from_scan_params(params: dict, cfg: DustrModelConfig) -> dict:
     """Scan layout → unrolled (checkpoint-native) layout."""
     if "enc_scan" not in params or "dec_scan" not in params:

@@ -49,7 +49,7 @@ class PseudoGTGenerator:
                  quantize_int8: bool = False,
                  int8_group_size: Optional[int] = None,
                  int8_skip: tuple = (), int8_only: tuple = (),
-                 int8_equalize: bool = False):
+                 int8_equalize: bool = False, mesh=None):
         """split_programs: compile encoder and decoder+heads+geometry as TWO
         programs instead of one — same numerics, one extra HBM round-trip of
         the encoder features, but each XLA compile is roughly half the size
@@ -63,9 +63,22 @@ class PseudoGTGenerator:
         GT-GENERATING, so this is for heavily-filtered candidate generation
         only; gate outputs via cli.parity before training on them. At
         S=1024 'auto' attention resolves to the fused Pallas kernels, so
-        the engine's postscale-vs-int8 pin does not apply here."""
+        the engine's postscale-vs-int8 pin does not apply here.
+
+        mesh: optional jax.sharding.Mesh for data-parallel generation —
+        params replicated, pair batches sharded on 'data', one SPMD program.
+        The heaviest offline workload (20.6k Freiburg frames) then scales
+        linearly over a slice instead of one chip (the reference is
+        single-GPU, scripts/pseudo_gt.py:507-611). batch_size must be a
+        multiple of the mesh's data size."""
         self.config = config
         self.batch_size = batch_size
+        self.mesh = mesh
+        self._n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        if batch_size % self._n_data:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by the mesh's "
+                f"data-parallel size {self._n_data}")
         self.split_programs = split_programs
         self.model = AsymmetricCroCo3DStereo(config)
         h, w = config.img_size
@@ -88,6 +101,14 @@ class PseudoGTGenerator:
                 params, group_size=int8_group_size, skip=int8_skip,
                 only=int8_only)
         self.params = params
+        if mesh is not None:
+            from thermal3d.core.mesh import replicated_sharding
+
+            repl = replicated_sharding(mesh)
+            put = lambda x: jax.device_put(x, repl)  # noqa: E731
+            self.params = jax.tree_util.tree_map(put, self.params)
+            if self.quant is not None:
+                self.quant = jax.tree_util.tree_map(put, self.quant)
         self.calib_k = None
         if calib_file and os.path.exists(calib_file):
             try:
@@ -137,9 +158,30 @@ class PseudoGTGenerator:
                 "confidence2": c2, "depth1": d1, "depth2": d2,
                 "intrinsics": k, "poses": pose}
 
+    def _shard(self, rgb):
+        """Place one pair batch onto the mesh, sharded on 'data' (no-op
+        without a mesh)."""
+        if self.mesh is None:
+            return jnp.asarray(rgb)
+        from thermal3d.core.mesh import data_sharding
+
+        rgb = np.asarray(rgb)
+        if rgb.shape[0] % self._n_data:
+            raise ValueError(
+                f"batch size {rgb.shape[0]} not divisible by the mesh's "
+                f"data-parallel size {self._n_data}")
+        return jax.device_put(rgb, data_sharding(self.mesh, rgb.ndim))
+
+    def run_pairs_async(self, rgb1: np.ndarray, rgb2: np.ndarray
+                        ) -> Dict[str, jnp.ndarray]:
+        """Dispatch one pair batch; returns DEVICE arrays without blocking
+        (generate_pseudo_gt overlaps the next batch's decode with this one's
+        compute)."""
+        return self._step(self.params, self.quant,
+                          self._shard(rgb1), self._shard(rgb2))
+
     def run_pairs(self, rgb1: np.ndarray, rgb2: np.ndarray) -> Dict[str, np.ndarray]:
-        out = self._step(self.params, self.quant,
-                         jnp.asarray(rgb1), jnp.asarray(rgb2))
+        out = self.run_pairs_async(rgb1, rgb2)
         return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -172,8 +214,8 @@ def generate_pseudo_gt(pairs: List[Dict[str, str]], output_dir: str,
     if max_pairs is not None:
         pairs = pairs[:max_pairs]
     bs = generator.batch_size
-    for i in range(0, len(pairs), bs):
-        chunk = pairs[i : i + bs]
+
+    def decode_chunk(chunk):
         imgs1, imgs2, names = [], [], []
         for pr in chunk:
             a = load_rgb_image(pr["rgb_path1"])
@@ -185,13 +227,11 @@ def generate_pseudo_gt(pairs: List[Dict[str, str]], output_dir: str,
             b1 = os.path.splitext(os.path.basename(pr["rgb_path1"]))[0]
             b2 = os.path.splitext(os.path.basename(pr["rgb_path2"]))[0]
             names.append((b1, b2))
-        if not imgs1:
-            continue
-        real = len(imgs1)
-        while len(imgs1) < bs:  # pad to static batch
-            imgs1.append(imgs1[-1])
-            imgs2.append(imgs2[-1])
-        out = generator.run_pairs(np.stack(imgs1), np.stack(imgs2))
+        return imgs1, imgs2, names
+
+    def write_batch(dev_out, names, imgs1, imgs2, real):
+        nonlocal n_written
+        out = {k: np.asarray(v) for k, v in dev_out.items()}
         if generator.calib_k is not None:
             out["intrinsics"] = np.tile(generator.calib_k[None], (bs, 1, 1)).astype(np.float32)
         for j, (b1, b2) in enumerate(names[:real]):
@@ -210,4 +250,34 @@ def generate_pseudo_gt(pairs: List[Dict[str, str]], output_dir: str,
                 visualize_data(imgs1[j], imgs2[j], out["depth1"][j], out["depth2"][j],
                                save_path=os.path.join(vis_dir, f"{pair_name}.png"))
             n_written += 1
+
+    # pipelined: a background thread decodes chunk i+1/i+2 while the device
+    # computes chunk i; chunk i's fetch + npy writes happen only after chunk
+    # i+1 is dispatched (same overlap structure as InferenceEngine.infer_paths)
+    import collections
+    import concurrent.futures as cf
+
+    chunks = [pairs[i : i + bs] for i in range(0, len(pairs), bs)]
+    inflight = None  # (dev_out, names, imgs1, imgs2, real)
+    with cf.ThreadPoolExecutor(1) as pool:
+        pending: collections.deque = collections.deque(
+            pool.submit(decode_chunk, c) for c in chunks[:3])
+        next_i = len(pending)
+        for _ in range(len(chunks)):
+            imgs1, imgs2, names = pending.popleft().result()
+            if next_i < len(chunks):
+                pending.append(pool.submit(decode_chunk, chunks[next_i]))
+                next_i += 1
+            if not imgs1:
+                continue
+            real = len(imgs1)
+            while len(imgs1) < bs:  # pad to static batch
+                imgs1.append(imgs1[-1])
+                imgs2.append(imgs2[-1])
+            dev_out = generator.run_pairs_async(np.stack(imgs1), np.stack(imgs2))
+            if inflight is not None:
+                write_batch(*inflight)
+            inflight = (dev_out, names, imgs1, imgs2, real)
+        if inflight is not None:
+            write_batch(*inflight)
     return n_written
