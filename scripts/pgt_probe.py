@@ -28,11 +28,14 @@ from thermal3d.geometry.intrinsics import estimate_camera_intrinsics_jit
 from thermal3d.geometry.umeyama import extract_relative_pose_jit
 from thermal3d.models.dustr import AsymmetricCroCo3DStereo
 
+scan = "--scan" in sys.argv
+if scan:  # the unrolled 512 program exceeds the compile relay's request
+    sys.argv.remove("--scan")  # size limit (HTTP 413) — scan-roll the stacks
 attn = sys.argv[1] if len(sys.argv) > 1 else "xla"
 batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 config = dataclasses.replace(MASTR_512_CATMLPDPT, compute_dtype="bfloat16",
-                             attention_impl=attn)
+                             attention_impl=attn, scan_layers=scan)
 model = AsymmetricCroCo3DStereo(config)
 h, w = config.img_size
 dummy = jnp.zeros((1, h, w, 3), jnp.float32)
@@ -60,7 +63,18 @@ def chain(name, f):
         x = step(x)
     float(x[0, 0, 0, 0])
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:28s} compile={compile_s:7.1f}s  run={dt*1000:9.1f} ms")
+    # XLA's own FLOP count for the compiled program -> MFU decomposition
+    # (docs/PERF.md MASt3R-512 section); tolerate both cost_analysis forms
+    try:
+        ca = step.lower(rgb1).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+    tfs = flops / dt / 1e12
+    print(f"{name:28s} compile={compile_s:7.1f}s  run={dt*1000:9.1f} ms  "
+          f"flops={flops/1e9:9.1f} G  ({tfs:6.1f} TF/s)")
 
 
 def fb_full(x):

@@ -121,6 +121,31 @@ def test_cli_pseudo_gt_end_to_end_tiny(tmp_path, rng):
 
     assert len(glob.glob(str(out / "pointmap1" / "*.npy"))) == 2
 
+    # int8 + static activation calibration through the same CLI path
+    # (calibrates on the first pair batch before compiling the int8 program)
+    out2 = tmp_path / "gt_int8"
+    n2 = main(["--dataset_dir", str(root), "--output_dir", str(out2),
+               "--img_size", "32", "32", "--model_preset", "tiny",
+               "--frame_skip", "1", "--batch_size", "2",
+               "--int8", "--int8_static_acts"])
+    assert n2 == 2
+    d = np.load(glob.glob(str(out2 / "depth1" / "*.npy"))[0])
+    assert np.isfinite(d).all()
+
+
+def test_int8_static_acts_without_int8_is_an_error():
+    """--int8_static_acts only acts inside the int8 branch (same fail-loud
+    convention as --int8_equalize)."""
+    import pytest
+
+    from thermal3d.cli import infer, pseudo_gt
+
+    with pytest.raises(SystemExit):
+        infer.main(["--img_path", "x.png", "--int8_static_acts"])
+    with pytest.raises(SystemExit):
+        pseudo_gt.main(["--dataset_dir", "d", "--output_dir", "o",
+                        "--int8_static_acts"])
+
 
 def test_cli_train_end_to_end_tiny(tmp_path, rng):
     """Torch .pth → converter → pseudo-GT data → sharded training → orbax:

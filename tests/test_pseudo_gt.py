@@ -389,3 +389,46 @@ def test_generator_mesh_rejects_indivisible_batch():
     mesh = make_mesh((8,), ("data",), devices=jax.devices("cpu")[:8])
     with pytest.raises(ValueError, match="not divisible"):
         PseudoGTGenerator(cfg, batch_size=6, mesh=mesh)
+
+
+def test_model_info_text_and_diagram(tiny_config, rng, tmp_path):
+    """Reference-style architecture rendering + the mpl box diagram
+    (scripts/model_info.py:158-334 counterpart, VERDICT r3 #8)."""
+    from thermal3d.cli.model_info import (draw_architecture_diagram,
+                                          reconstruct_architecture,
+                                          render_architecture_text)
+    from thermal3d.convert.torch_to_flax import expected_torch_keys
+
+    state = {k: rng.standard_normal(s).astype(np.float32)
+             for k, s in expected_torch_keys(tiny_config).items()}
+    arch = reconstruct_architecture(state)
+    text = render_architecture_text(arch)
+    assert "DUSt3R Model Architecture" in text
+    assert "Dual-branch decoder structure" in text
+    assert "Self + Cross Attention" in text
+    png = tmp_path / "arch.png"
+    draw_architecture_diagram(arch, str(png))
+    assert png.exists() and png.stat().st_size > 1000
+
+
+def test_debug_loading_diagnostic(mini_freiburg, capsys):
+    """FreiburgPairDataset.debug_loading prints the per-sample file
+    resolution (reference data/dataset_loader.py:219-235) and returns it."""
+    from thermal3d.data.freiburg import FreiburgPairDataset
+
+    ds = FreiburgPairDataset(str(mini_freiburg), img_size=(32, 32),
+                             use_pseudo_gt=False)
+    assert len(ds) > 0
+    info = ds.debug_loading(0)
+    out = capsys.readouterr().out
+    assert "thermal1" in out and "exists: True" in out
+    assert info["thermal1"]["exists"]
+    assert info["loaded"]["thermal1"] == (32, 32, 3)
+
+    # train CLI exposes it as --debug_loading IDX
+    from thermal3d.cli.train import build_parser
+
+    args = build_parser().parse_args(
+        ["--dataset_dir", "d", "--pseudo_gt_dir", "g", "--weights", "w",
+         "--output_model", "o", "--debug_loading", "0"])
+    assert args.debug_loading == 0

@@ -304,3 +304,58 @@ def test_int8_params_without_scales_fail_loudly(rng, tiny_config):
     pq, _ = quantize_params_int8(params)
     with pytest.raises(ValueError, match="quant"):
         model.apply({"params": pq}, dummy, dummy)
+
+
+def test_static_activation_calibration_engine(rng, tiny_config):
+    """int8_calibration: one float forward sows per-GEMM input absmax; the
+    quant tree gains static act_scale leaves; the int8 forward then skips
+    the dynamic absmax pass and stays close to the dynamic-quant engine on
+    in-range inputs (VERDICT r3 #5: static activation-scale calibration)."""
+    from flax import traverse_util
+
+    from thermal3d.infer.engine import InferenceEngine
+
+    h, w = tiny_config.img_size
+    raw = rng.uniform(21000, 26000, (2, h, w)).astype(np.float32)
+    dyn = InferenceEngine(tiny_config, use_thermal_head=False, rng_seed=5,
+                          quantize_int8=True)
+    sta = InferenceEngine(tiny_config, use_thermal_head=False, rng_seed=5,
+                          quantize_int8=True, int8_calibration=raw)
+    flat = traverse_util.flatten_dict(sta.quant)
+    acts = [p for p in flat if p[-1] == "act_scale"]
+    assert acts, "no act_scale leaves in the quant collection"
+    scales = [p for p in flat if p[-1] == "kernel_scale"]
+    assert len(acts) == len(scales)  # every quantized GEMM calibrated
+    assert all(float(flat[p]) > 0 for p in acts)
+
+    d_dyn = dyn.infer(raw)["depth"]
+    d_sta = sta.infer(raw)["depth"]
+    assert np.isfinite(d_sta).all()
+    # static scales lose per-token resolution; bound the extra drift loosely
+    rel = np.linalg.norm(d_sta - d_dyn) / (np.linalg.norm(d_dyn) + 1e-9)
+    assert rel < 0.2, rel
+
+
+def test_static_activation_calibration_scan_generator(rng, tiny_config):
+    """Same through the generator on the SCAN layout: calib absmax stacks
+    per layer (nn.scan variable_axes), act_scale slices alongside params."""
+    import dataclasses as dc
+
+    from flax import traverse_util
+
+    from thermal3d.pseudo_gt.generator import PseudoGTGenerator
+
+    cfg = dc.replace(tiny_config, scan_layers=True)
+    h, w = cfg.img_size
+    r1 = rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32)
+    r2 = rng.uniform(0, 1, (2, h, w, 3)).astype(np.float32)
+    gen = PseudoGTGenerator(cfg, batch_size=2, rng_seed=4,
+                            quantize_int8=True, int8_calibration=(r1, r2))
+    flat = traverse_util.flatten_dict(gen.quant)
+    acts = {p: v for p, v in flat.items() if p[-1] == "act_scale"}
+    assert acts
+    # stacked per-layer scales on the scan trunks
+    enc_acts = [v for p, v in acts.items() if p[0] == "enc_scan"]
+    assert enc_acts and all(v.shape[0] == cfg.enc_depth for v in enc_acts)
+    out = gen.run_pairs(r1, r2)
+    assert np.isfinite(out["depth1"]).all()

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SmoothQuant-style LN-to-GEMM equalization before "
                         "quantizing (exact, zero runtime cost; damps trained "
                         "activation outlier channels — docs/INT8_SWEEP.md)")
+    p.add_argument("--int8_static_acts", action="store_true",
+                   help="calibrate STATIC per-GEMM activation scales on the "
+                        "first input batch (one float forward), so int8 "
+                        "serving skips the per-token dynamic absmax pass — "
+                        "docs/INT8_SWEEP.md static-acts section")
     p.add_argument("--model_variant", type=str, default="dustr224_linear",
                    choices=["dustr224_linear", "dustr512_dpt",
                             "mastr512_catmlpdpt"],
@@ -100,10 +105,11 @@ def main(argv=None):
     from thermal3d.viz.panels import visualize_depth_result
 
     args = build_parser().parse_args(argv)
-    if args.int8_equalize and not args.int8:
-        # equalization only runs inside the int8 branch — alone it would be a
-        # silent no-op (fail-loud convention, matching cli.parity)
-        build_parser().error("--int8_equalize requires --int8")
+    if (args.int8_equalize or args.int8_static_acts) and not args.int8:
+        # these only act inside the int8 branch — alone they would be
+        # silent no-ops (fail-loud convention, matching cli.parity)
+        build_parser().error(
+            "--int8_equalize/--int8_static_acts require --int8")
     from thermal3d.cli.common import apply_preset
 
     base = {"dustr224_linear": DUSTR_224_LINEAR,
@@ -118,6 +124,24 @@ def main(argv=None):
     from thermal3d.cli.common import apply_scan
 
     config, params = apply_scan(config, params, args.scan_layers)
+
+    if os.path.isdir(args.img_path):
+        paths = sorted(glob.glob(os.path.join(args.img_path, "*.png")))
+    else:
+        paths = [args.img_path]
+
+    int8_calibration = None
+    if args.int8_static_acts:
+        from thermal3d.preprocess.io import load_thermal_images_batch
+
+        grays, _ = load_thermal_images_batch(
+            paths[: args.batch_size], normalize=True,
+            out_hw=tuple(args.img_size))
+        if not grays:
+            build_parser().error("--int8_static_acts: no decodable frames "
+                                 "to calibrate on")
+        int8_calibration = np.stack(grays)
+
     mesh = None
     if args.ndev > 1:
         if args.batch_size % args.ndev:
@@ -137,13 +161,9 @@ def main(argv=None):
                              int8_group_size=args.int8_group_size,
                              int8_only=SCOPE_TO_ONLY[args.int8_scope],
                              int8_equalize=args.int8_equalize,
+                             int8_calibration=int8_calibration,
                              mesh=mesh)
     os.makedirs(args.output_dir, exist_ok=True)
-
-    if os.path.isdir(args.img_path):
-        paths = sorted(glob.glob(os.path.join(args.img_path, "*.png")))
-    else:
-        paths = [args.img_path]
 
     if args.img_path2:  # stereo pair mode
         g1 = load_thermal_image(args.img_path, normalize=True)

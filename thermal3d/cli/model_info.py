@@ -89,6 +89,98 @@ def reconstruct_architecture(state: Dict[str, np.ndarray]) -> Dict:
     return arch
 
 
+def render_architecture_text(arch: Dict) -> str:
+    """Reference-style architecture summary (the print layout of
+    scripts/model_info.py:262-324: Encoder / Decoder / Output Heads
+    sections)."""
+    lines = ["DUSt3R Model Architecture", "===============================",
+             "", "Encoder:"]
+    pe = arch.get("patch_embed", {})
+    if pe:
+        ps, ed = pe.get("patch_size", "?"), pe.get("embed_dim", "?")
+        lines.append(f"  Patch Embedding: {ps}x{ps} patches -> {ed} dim")
+    eb = arch.get("enc_blocks", {})
+    if eb:
+        lines.append(f"  Transformer Encoder: {eb.get('n_blocks', '?')} blocks "
+                     f"with {eb.get('embed_dim', '?')} dim")
+        lines.append(f"  Attention Type: {eb.get('attention', 'Self Attention')}")
+    lines += ["", "Decoder:"]
+    db = arch.get("dec_blocks", {})
+    if db:
+        lines.append("  Decoder Embedding: Maps encoder features to decoder space")
+        lines.append(f"  Transformer Decoder: {db.get('n_blocks', '?')} blocks "
+                     f"with {db.get('embed_dim', '?')} dim")
+        lines.append(f"  Attention Type: {db.get('attention', 'Self Attention')}")
+    if arch.get("dec_blocks2"):
+        lines.append(f"  Second Decoder Branch: "
+                     f"{arch['dec_blocks2'].get('n_blocks', '?')} blocks")
+        lines.append("  Dual-branch decoder structure (for processing two views)")
+    lines += ["", "Output Heads:"]
+    for h in arch.get("heads", []):
+        lines.append(f"  {h}: Converts features to final outputs")
+    return "\n".join(lines)
+
+
+def draw_architecture_diagram(arch: Dict, save_path: str) -> None:
+    """Box-diagram rendering of the reconstructed architecture (the mpl
+    counterpart to visualize_model_architecture,
+    scripts/model_info.py:158-334): patch embed -> encoder stack -> shared
+    features fanning into the two interleaved decoder branches -> heads."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import FancyArrowPatch, FancyBboxPatch
+
+    fig, ax = plt.subplots(figsize=(11, 5))
+    ax.set_xlim(0, 11)
+    ax.set_ylim(0, 5)
+    ax.axis("off")
+
+    def box(x, y, w, h, label, color):
+        ax.add_patch(FancyBboxPatch(
+            (x, y), w, h, boxstyle="round,pad=0.06",
+            facecolor=color, edgecolor="#333333", linewidth=1.2))
+        ax.text(x + w / 2, y + h / 2, label, ha="center", va="center",
+                fontsize=9)
+
+    def arrow(x0, y0, x1, y1):
+        ax.add_patch(FancyArrowPatch((x0, y0), (x1, y1),
+                                     arrowstyle="-|>", mutation_scale=14,
+                                     color="#333333", linewidth=1.1))
+
+    pe = arch.get("patch_embed", {})
+    eb = arch.get("enc_blocks", {})
+    db = arch.get("dec_blocks", {})
+    db2 = arch.get("dec_blocks2", {})
+    ps = pe.get("patch_size", "?")
+    box(0.3, 2.0, 1.6, 1.0,
+        f"Patch Embed\n{ps}x{ps} conv\n-> {pe.get('embed_dim', '?')}d", "#cfe3f7")
+    arrow(1.9, 2.5, 2.5, 2.5)
+    box(2.5, 2.0, 2.0, 1.0,
+        f"ViT Encoder\n{eb.get('n_blocks', '?')} blocks, "
+        f"{eb.get('embed_dim', '?')}d\n(shared, both views)", "#cfe3f7")
+    arrow(4.5, 2.5, 5.2, 3.6)
+    arrow(4.5, 2.5, 5.2, 1.4)
+    dec_label = (f"{db.get('n_blocks', '?')} blocks, {db.get('embed_dim', '?')}d"
+                 f"\nself + cross attn")
+    box(5.2, 3.2, 2.4, 1.0, f"Decoder (view 1)\n{dec_label}", "#d9efd3")
+    box(5.2, 0.9, 2.4, 1.0,
+        f"Decoder 2 (view 2)\n{db2.get('n_blocks', '?')} blocks"
+        "\ninterleaved cross attn", "#d9efd3")
+    # cross-attention exchange between the two branches
+    arrow(6.4, 3.2, 6.4, 1.9)
+    arrow(6.8, 1.9, 6.8, 3.2)
+    heads = arch.get("heads", []) or ["downstream_head1", "downstream_head2"]
+    ys = (3.7, 1.4) if len(heads) >= 2 else (2.5,)
+    for name, y in zip(heads, ys):
+        arrow(7.6, y - 0.0 if y > 2 else y, 8.3, y)
+        box(8.3, y - 0.5, 2.3, 1.0, f"{name}\npts3d + conf", "#f7e3cf")
+    ax.set_title("AsymmetricCroCo3DStereo — reconstructed architecture")
+    fig.savefig(save_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
 def validate_against_config(state: Dict[str, np.ndarray], config,
                             released: bool = True) -> Dict:
     """Diff a state dict against the key/shape spec. released=True validates
@@ -127,6 +219,9 @@ def main(argv=None):
                         help="diff against the DUSt3R-224-linear key spec")
     parser.add_argument("--config", type=str, default="dustr224",
                         choices=["dustr224", "mastr512"])
+    parser.add_argument("--diagram", type=str, default=None, metavar="PNG",
+                        help="render the reconstructed architecture as a "
+                             "box diagram to this file")
     args = parser.parse_args(argv)
 
     from thermal3d.convert.torch_to_flax import load_torch_checkpoint
@@ -140,9 +235,14 @@ def main(argv=None):
     for g, n in stats["groups"].items():
         print(f"  {g:<8}: {n:,} ({100 * n / max(stats['total'], 1):.1f}%)")
     arch = reconstruct_architecture(state)
-    print("\nArchitecture:")
+    print()
+    print(render_architecture_text(arch))
+    print("\nArchitecture (raw):")
     for comp, info in arch.items():
         print(f"  {comp}: {info}")
+    if args.diagram:
+        draw_architecture_diagram(arch, args.diagram)
+        print(f"\nDiagram saved to {args.diagram}")
     if args.validate:
         cfg = DUSTR_224_LINEAR if args.config == "dustr224" else MASTR_512_CATMLPDPT
         report = validate_against_config(state, cfg)

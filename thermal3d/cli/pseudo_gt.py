@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8_equalize", action="store_true",
                    help="SmoothQuant-style LN-to-GEMM fold before quantizing "
                         "(exact, zero cost; helps with trained weights)")
+    p.add_argument("--int8_static_acts", action="store_true",
+                   help="calibrate static per-GEMM activation scales on the "
+                        "first pair batch (one float forward) — skips the "
+                        "dynamic absmax pass in int8 mode")
     p.add_argument("--ndev", type=int, default=1,
                    help="data-parallel generation over the first N local "
                         "devices (params replicated, pair batches sharded; "
@@ -52,10 +56,11 @@ def main(argv=None):
     from thermal3d.pseudo_gt.test_set import generate_test_set_pseudo_gt
 
     args = build_parser().parse_args(argv)
-    if args.int8_equalize and not args.int8:
-        # equalization only runs inside the int8 branch — alone it would be a
-        # silent no-op (fail-loud convention, matching cli.parity)
-        build_parser().error("--int8_equalize requires --int8")
+    if (args.int8_equalize or args.int8_static_acts) and not args.int8:
+        # these only act inside the int8 branch — alone they would be
+        # silent no-ops (fail-loud convention, matching cli.parity)
+        build_parser().error(
+            "--int8_equalize/--int8_static_acts require --int8")
     from thermal3d.cli.common import apply_preset
 
     config = apply_preset(MASTR_512_CATMLPDPT, args.model_preset, args.img_size,
@@ -70,6 +75,16 @@ def main(argv=None):
     from thermal3d.cli.common import apply_scan
 
     config, params = apply_scan(config, params, args.scan_layers)
+
+    # build the input index up-front (also feeds --int8_static_acts
+    # calibration, which needs the first pair batch before the generator
+    # compiles)
+    if args.test_set:
+        frames = build_rgb_thermal_index(args.dataset_dir)
+    else:
+        pairs = build_rgb_pair_index(args.dataset_dir, frame_skip=args.frame_skip)
+        print(f"Created {len(pairs)} RGB pairs")
+
     int8_kw = {}
     if args.int8:
         from thermal3d.kernels.quant import SCOPE_TO_ONLY
@@ -77,6 +92,31 @@ def main(argv=None):
         int8_kw = {"quantize_int8": True,
                    "int8_only": SCOPE_TO_ONLY[args.int8_scope],
                    "int8_equalize": args.int8_equalize}
+        if args.int8_static_acts:
+            import numpy as np
+
+            from thermal3d.preprocess.io import load_rgb_image
+            from thermal3d.pseudo_gt.generator import _resize_rgb
+
+            hw = tuple(config.img_size)
+            r1s, r2s = [], []
+            src = frames if args.test_set else pairs
+            for entry in src:
+                if len(r1s) >= args.batch_size:
+                    break
+                if args.test_set:
+                    a = b = load_rgb_image(entry["rgb"])
+                else:
+                    a = load_rgb_image(entry["rgb_path1"])
+                    b = load_rgb_image(entry["rgb_path2"])
+                if a is None or b is None:
+                    continue
+                r1s.append(_resize_rgb(a, hw))
+                r2s.append(_resize_rgb(b, hw))
+            if not r1s:
+                build_parser().error("--int8_static_acts: no decodable RGB "
+                                     "pairs to calibrate on")
+            int8_kw["int8_calibration"] = (np.stack(r1s), np.stack(r2s))
     mesh = None
     if args.ndev > 1:
         if args.batch_size % args.ndev:
@@ -93,12 +133,9 @@ def main(argv=None):
                             calib_file=args.calib_file, mesh=mesh, **int8_kw)
 
     if args.test_set:
-        frames = build_rgb_thermal_index(args.dataset_dir)
         n = generate_test_set_pseudo_gt(frames, args.output_dir, gen,
                                         max_frames=args.max_pairs)
     else:
-        pairs = build_rgb_pair_index(args.dataset_dir, frame_skip=args.frame_skip)
-        print(f"Created {len(pairs)} RGB pairs")
         n = generate_pseudo_gt(pairs, args.output_dir, gen,
                                visualize=args.visualize, max_pairs=args.max_pairs)
     print(f"Pseudo-GT generation complete: {n} items -> {args.output_dir}")

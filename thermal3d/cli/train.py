@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--accumulation_steps", type=int, default=1)
     p.add_argument("--multi_scale", action="store_true")
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--debug_loading", type=int, default=None, metavar="IDX",
+                   help="print the index diagnostic for sample IDX (paths, "
+                        "file existence, loaded shapes — the reference's "
+                        "FreiburgDataset.debug_loading) and exit")
     p.add_argument("--weight_decay", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
@@ -105,6 +109,10 @@ def main(argv=None):
         args.dataset_dir, img_size=tuple(args.img_size),
         pseudo_gt_dir=args.pseudo_gt_dir, frame_skip=args.frame_skip)
     print(f"Created {len(dataset)} validated thermal pairs")
+
+    if args.debug_loading is not None:
+        dataset.debug_loading(args.debug_loading)
+        return
 
     converted, report = convert_checkpoint(args.weights, model_cfg)
     print(f"Converted checkpoint: {len(report['converted'])} tensors "

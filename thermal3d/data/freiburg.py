@@ -325,6 +325,43 @@ class FreiburgPairDataset:
         sample["pose"] = (np.load(gt["pose"]).astype(np.float32)
                           if gt.get("pose") else np.eye(4, dtype=np.float32))
 
+    def debug_loading(self, idx: int = 0) -> Dict:
+        """Index diagnostic (reference: FreiburgDataset.debug_loading,
+        data/dataset_loader.py:219-235): print exactly which files sample
+        `idx` resolves to, whether each exists, and the loaded shapes —
+        the first tool to reach for when a training run sees 0 valid pairs.
+        Returns the findings as a dict for programmatic use."""
+        if not self.pairs:
+            print("debug_loading: index is EMPTY (0 validated pairs) — check "
+                  "root_dir layout (train/<seq>/<drive>/fl_ir_aligned/*.png) "
+                  "and pseudo_gt_dir contents")
+            return {"pairs": 0}
+        idx = int(idx) % len(self.pairs)
+        pair = self.pairs[idx]
+        info: Dict = {"idx": idx}
+        print(f"Loading sample {idx} of {len(self.pairs)}:")
+        for key in ("thermal1", "thermal2", "rgb1", "rgb2"):
+            path = pair.get(key)
+            if path:
+                exists = os.path.exists(path)
+                info[key] = {"path": path, "exists": exists}
+                print(f"  {key}: {path}  [exists: {exists}]")
+        gt = pair.get("gt") or {}
+        for key, path in gt.items():
+            exists = bool(path) and os.path.exists(path)
+            info[f"gt.{key}"] = {"path": path, "exists": exists}
+            print(f"  gt.{key}: {path}  [exists: {exists}]")
+        sample = self[idx]
+        if sample is None:
+            print("  -> sample FAILED to load (decode error)")
+            info["loaded"] = None
+        else:
+            shapes = {k: tuple(v.shape) for k, v in sample.items()}
+            info["loaded"] = shapes
+            print(f"  -> loaded OK: " + ", ".join(
+                f"{k}{s}" for k, s in shapes.items()))
+        return info
+
     def get_batch(self, idxs) -> List[Dict[str, np.ndarray]]:
         """Batch-level loading: ONE native thread-pool decode+resize call for
         all 2B thermal frames of the batch (the training-pipeline host

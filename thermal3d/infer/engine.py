@@ -54,8 +54,14 @@ class InferenceEngine:
         int8_skip: tuple = (),
         int8_only: tuple = (),
         int8_equalize: bool = False,
+        int8_calibration=None,
         mesh=None,
     ):
+        """int8_calibration: optional raw grayscale frame sample [B, h, w]
+        (any scale) — runs ONE float forward over it to calibrate static
+        per-GEMM activation scales, so int8 serving skips the per-token
+        dynamic absmax pass (kernels/quant.py act_scales). Requires
+        quantize_int8 and int8_group_size=None."""
         if quantize_int8:
             # shared int8 attention policy (rationale in kernels/quant.py)
             from thermal3d.kernels.quant import pin_attention_for_int8
@@ -75,6 +81,13 @@ class InferenceEngine:
             # at ViT-L scale)
             dt = jnp.bfloat16 if params_dtype == "bfloat16" else jnp.dtype(params_dtype)
             params = jax.tree_util.tree_map(lambda x: x.astype(dt), params)
+        self.use_thermal_head = use_thermal_head
+        self._thermal_head = ThermalPreprocessHead()
+        if use_thermal_head and thermal_head_params is None:
+            dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+            thermal_head_params = self._thermal_head.init(jax.random.key(0), dummy)["params"]
+        self.thermal_head_params = thermal_head_params
+
         self.quant = None
         if quantize_int8:
             # int8 MXU serving mode (2x bf16 peak; measured 1.3-1.5x on the
@@ -93,16 +106,23 @@ class InferenceEngine:
                 # damps activation outlier channels before dynamic quant
                 params = equalize_ln_gemm(params, only=int8_only,
                                           skip=int8_skip)
+            act_scales = None
+            if int8_calibration is not None:
+                # ONE float forward over the sample, serving-shaped
+                # (preprocess → thermal head → monocular model), with the
+                # 'calib' collection mutable: QuantDense sows per-GEMM input
+                # absmax (max-reduced over the sample)
+                x = self._preprocess(jnp.asarray(int8_calibration))
+                if use_thermal_head:
+                    x = self._thermal_head.apply(
+                        {"params": thermal_head_params}, x)
+                _, mut = self.model.apply({"params": params}, x, None,
+                                          mutable=["calib"])
+                act_scales = mut["calib"]
             params, self.quant = quantize_params_int8(
                 params, group_size=int8_group_size, skip=int8_skip,
-                only=int8_only)
+                only=int8_only, act_scales=act_scales)
         self.params = params
-        self.use_thermal_head = use_thermal_head
-        self._thermal_head = ThermalPreprocessHead()
-        if use_thermal_head and thermal_head_params is None:
-            dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-            thermal_head_params = self._thermal_head.init(jax.random.key(0), dummy)["params"]
-        self.thermal_head_params = thermal_head_params
 
         self.mesh = mesh
         self._n_data = 1

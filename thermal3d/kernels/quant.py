@@ -61,19 +61,32 @@ def pin_attention_for_int8(attention_impl: str) -> str:
 
 
 def int8_dense(x: jnp.ndarray, wq: jnp.ndarray, ws: jnp.ndarray,
-               out_dtype) -> jnp.ndarray:
+               out_dtype, act_scale: Optional[jnp.ndarray] = None
+               ) -> jnp.ndarray:
     """x: [..., K] float; wq: [K, N] int8; ws: per-column scales — [N] f32
     (whole-column) or [G, N] f32 (grouped: column scales per K/G-row segment).
 
     Dynamic symmetric activation quantization (absmax/127; per token, or per
     token-and-segment when grouped), int8 MXU matmul with int32 accumulation,
     f32 dequant.
+
+    act_scale: optional STATIC per-tensor activation scale (scalar f32,
+    calibrated offline from a frame sample — quantize_params_int8
+    act_scales): skips the per-token absmax reduction pass entirely; values
+    beyond the calibrated range saturate at ±127 (standard static-quant
+    behavior). Mutually exclusive with grouped weight scales.
     """
     if ws.ndim == 2:
+        if act_scale is not None:
+            raise ValueError("static act_scale is not supported with grouped "
+                             "weight scales (pick one)")
         return _int8_dense_grouped(x, wq, ws, out_dtype)
     xf = x.astype(jnp.float32)
-    ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xs = jnp.maximum(ax, 1e-8) / 127.0
+    if act_scale is not None:
+        xs = act_scale.astype(jnp.float32)
+    else:
+        ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        xs = jnp.maximum(ax, 1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
@@ -236,8 +249,17 @@ def _targeted(path: Tuple[str, ...], skip: Collection[str],
 
 def quantize_params_int8(params: Dict, group_size: Optional[int] = None,
                          skip: Collection[str] = (),
-                         only: Collection[str] = ()) -> Tuple[Dict, Dict]:
+                         only: Collection[str] = (),
+                         act_scales: Optional[Dict] = None
+                         ) -> Tuple[Dict, Dict]:
     """Returns (params_q, quant_collection).
+
+    act_scales: optional calibration tree (the 'calib' collection returned
+    by a float forward with mutable=['calib'] — QuantDense sows its input
+    absmax there): for every quantized kernel whose module has a calibrated
+    `act_absmax`, a static `act_scale = absmax/127` is added to the quant
+    collection and int8_dense skips the per-token dynamic absmax pass.
+    Requires group_size=None.
 
     params_q mirrors `params` with targeted 2-D 'kernel' leaves replaced by
     int8; quant_collection mirrors the module scopes with 'kernel_scale'
@@ -255,6 +277,12 @@ def quantize_params_int8(params: Dict, group_size: Optional[int] = None,
     frontier is the FRACTION of GEMMs quantized, which `only` controls.
     """
     flat = traverse_util.flatten_dict(params)
+    calib_flat = {}
+    if act_scales is not None:
+        if group_size is not None:
+            raise ValueError("act_scales (static activation quantization) "
+                             "requires group_size=None")
+        calib_flat = traverse_util.flatten_dict(act_scales)
     qflat, quant = {}, {}
     for path, leaf in flat.items():
         ndim = getattr(leaf, "ndim", 0)
@@ -280,6 +308,13 @@ def quantize_params_int8(params: Dict, group_size: Optional[int] = None,
                 wq, ws = quantize_kernel(leaf, gs)
             qflat[path] = wq
             quant[path[:-1] + ("kernel_scale",)] = ws
+            # calib tree path: module scope + 'act_absmax' (QuantDense.sow);
+            # stacked layouts carry per-layer absmax → per-layer act_scale
+            cpath = path[:-1] + ("act_absmax",)
+            if cpath in calib_flat:
+                absmax = jnp.asarray(calib_flat[cpath], jnp.float32)
+                quant[path[:-1] + ("act_scale",)] = (
+                    jnp.maximum(absmax, 1e-8) / 127.0)
         else:
             qflat[path] = leaf
     if not quant:

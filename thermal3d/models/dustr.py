@@ -101,7 +101,7 @@ class AsymmetricCroCo3DStereo(nn.Module):
             # the launch-bound S=196 complex (VERDICT r3 next-#3)
             DualBlock = nn.vmap(
                 dec_cls,
-                variable_axes={"params": 0, "quant": 0},
+                variable_axes={"params": 0, "quant": 0, "calib": 0},
                 split_rngs={"params": True},
                 in_axes=(0, 0, None, None),
             )
@@ -111,7 +111,8 @@ class AsymmetricCroCo3DStereo(nn.Module):
                 for i in range(cfg.dec_depth)
             ]
         if cfg.scan_layers:
-            scan_kw = dict(variable_axes={"params": 0, "quant": 0},
+            scan_kw = dict(variable_axes={"params": 0, "quant": 0,
+                                          "calib": 0},
                            split_rngs={"params": True}, in_axes=nn.broadcast)
             EncScan = nn.scan(_EncScanBody, length=cfg.enc_depth, **scan_kw)
             DecScan = nn.scan(_DecScanBody, length=cfg.dec_depth, **scan_kw)

@@ -43,11 +43,22 @@ class QuantDense(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.is_mutable_collection("calib"):
+            # calibration pass (float forward with mutable=['calib']):
+            # record this GEMM's input absmax over the sample batch — the
+            # static activation scale for int8 serving (kernels/quant.py
+            # act_scales; max-reduced across calls)
+            self.sow("calib", "act_absmax",
+                     jnp.max(jnp.abs(x)).astype(jnp.float32),
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=jnp.maximum)
         if self.has_variable("quant", "kernel_scale"):
             from thermal3d.kernels.quant import int8_dense
 
             ws = self.get_variable("quant", "kernel_scale")
-            y = int8_dense(x, kernel, ws, self.dtype)
+            act = (self.get_variable("quant", "act_scale")
+                   if self.has_variable("quant", "act_scale") else None)
+            y = int8_dense(x, kernel, ws, self.dtype, act_scale=act)
         else:
             if kernel.dtype == jnp.int8:
                 raise ValueError(

@@ -49,7 +49,8 @@ class PseudoGTGenerator:
                  quantize_int8: bool = False,
                  int8_group_size: Optional[int] = None,
                  int8_skip: tuple = (), int8_only: tuple = (),
-                 int8_equalize: bool = False, mesh=None):
+                 int8_equalize: bool = False, int8_calibration=None,
+                 mesh=None):
         """split_programs: compile encoder and decoder+heads+geometry as TWO
         programs instead of one — same numerics, one extra HBM round-trip of
         the encoder features, but each XLA compile is roughly half the size
@@ -97,9 +98,19 @@ class PseudoGTGenerator:
             if int8_equalize:  # exact LN→GEMM fold (see engine / quant.py)
                 params = equalize_ln_gemm(params, only=int8_only,
                                           skip=int8_skip)
+            act_scales = None
+            if int8_calibration is not None:
+                # (rgb1, rgb2) sample pair batch → ONE float forward with
+                # 'calib' mutable: static per-GEMM activation scales
+                # (engine docstring / kernels/quant.py act_scales)
+                r1, r2 = int8_calibration
+                _, mut = self.model.apply(
+                    {"params": params}, jnp.asarray(r1), jnp.asarray(r2),
+                    mutable=["calib"])
+                act_scales = mut["calib"]
             params, self.quant = quantize_params_int8(
                 params, group_size=int8_group_size, skip=int8_skip,
-                only=int8_only)
+                only=int8_only, act_scales=act_scales)
         self.params = params
         if mesh is not None:
             from thermal3d.core.mesh import replicated_sharding
