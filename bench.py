@@ -101,7 +101,8 @@ def bench_train(batch: int, n_iters: int, remat: bool, scan: bool = False):
 
 def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
                     split: bool = False, chained: bool = False,
-                    tiny: bool = False, int8_only=None):
+                    tiny: bool = False, int8_only=None,
+                    static_acts: bool = False):
     """Pseudo-GT generation throughput (scripts/pseudo_gt.py:507-611 is the
     reference's second production workload): frozen MASt3R-512 two-view
     forward + on-device intrinsics + Umeyama pose, one jitted step.
@@ -132,15 +133,19 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
         from thermal3d.cli.common import apply_preset
 
         config = apply_preset(config, "tiny", (64, 64), "float32")
-    gen = PseudoGTGenerator(config, batch_size=batch, split_programs=split,
-                            params_dtype="bfloat16",
-                            quantize_int8=int8_only is not None,
-                            int8_only=int8_only or ())
-    params, quant = gen.params, gen.quant
     h, w = config.img_size
     ks = jax.random.split(jax.random.key(0), 2)
     rgb1 = jax.random.uniform(ks[0], (batch, h, w, 3))
     rgb2 = jax.random.uniform(ks[1], (batch, h, w, 3))
+    gen = PseudoGTGenerator(config, batch_size=batch, split_programs=split,
+                            params_dtype="bfloat16",
+                            quantize_int8=int8_only is not None,
+                            int8_only=int8_only or (),
+                            # calibrate static act scales on the bench input
+                            # itself (same protocol as cli.pseudo_gt)
+                            int8_calibration=(rgb1, rgb2) if static_acts
+                            else None)
+    params, quant = gen.params, gen.quant
 
     if chained:
         # All iterations INSIDE one jitted program, with a TRACED iteration
@@ -206,6 +211,7 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
             "chained": True,
             **({"scan": True} if scan else {}),
             **({"int8": list(int8_only) or "all"} if int8_only is not None else {}),
+            **({"static_acts": True} if static_acts else {}),
         }))
         return
 
@@ -249,6 +255,7 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
         **({"scan": True} if scan else {}),
         **({"split": True} if split else {}),
         **({"int8": list(int8_only) or "all"} if int8_only is not None else {}),
+        **({"static_acts": True} if static_acts else {}),
     }))
 
 
@@ -273,6 +280,12 @@ def main():
             sys.argv.remove(a)
 
     use_int8 = "--int8" in sys.argv
+    # static per-GEMM activation scales calibrated from one float forward
+    # (kernels/quant.py act_scales): int8_dense skips the per-token dynamic
+    # absmax pass — the measurement behind docs/INT8_SWEEP.md "static acts"
+    static_acts = "--int8-static-acts" in sys.argv
+    if static_acts and not use_int8:
+        raise SystemExit("--int8-static-acts requires --int8")
     int8_scope = "all"
     for a in list(sys.argv):
         if a.startswith("--int8-scope="):
@@ -305,7 +318,8 @@ def main():
                         split="--split" in sys.argv,
                         chained="--chained" in sys.argv,
                         tiny="--tiny" in sys.argv,
-                        int8_only=int8_only() if use_int8 else None)
+                        int8_only=int8_only() if use_int8 else None,
+                        static_acts=static_acts)
         return
 
     from thermal3d.core.config import DUSTR_224_LINEAR
@@ -352,13 +366,27 @@ def main():
     params = jax.jit(lambda k: model.init(k, dummy, dummy))(jax.random.key(0))["params"]
     if bf16_params:  # store weights in compute dtype: no per-step f32->bf16 cast
         params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    head_params = jax.jit(lambda k: head.init(k, jnp.zeros((1, h, w, 3))))(
+        jax.random.key(1))["params"]
     quant = None
     if use_int8:  # int8 MXU serving mode (accuracy-gated, tests/test_quant.py)
         from thermal3d.kernels.quant import quantize_params_int8
+        from thermal3d.preprocess.resize import resize_bilinear_hw as _rbhw
 
-        params, quant = quantize_params_int8(params, only=serving_int8_only)
-    head_params = jax.jit(lambda k: head.init(k, jnp.zeros((1, h, w, 3))))(
-        jax.random.key(1))["params"]
+        act_scales = None
+        if static_acts:
+            # ONE float forward over a serving-shaped sample with the
+            # 'calib' collection mutable (engine's int8_calibration path):
+            # QuantDense sows per-GEMM input absmax → static act scales
+            raw = jnp.linspace(21000.0, 26000.0, 4 * 320 * 416
+                               ).reshape(4, 320, 416) / 65535.0
+            xc = enhance_thermal_contrast(_rbhw(raw, (h, w)))
+            xc = head.apply({"params": head_params}, xc)
+            _, mut = model.apply({"params": params}, xc, None,
+                                 mutable=["calib"])
+            act_scales = mut["calib"]
+        params, quant = quantize_params_int8(params, only=serving_int8_only,
+                                             act_scales=act_scales)
 
     mesh = None
     if ndev > 1:
@@ -436,6 +464,7 @@ def main():
         "vs_baseline": round(fps / ndev / 500.0, 3),
         **({"ndev": ndev, "per_chip": round(fps / ndev, 2)} if ndev > 1 else {}),
         **({"int8": True} if use_int8 else {}),
+        **({"static_acts": True} if static_acts else {}),
         **({"branch": True} if branch else {}),
     }))
 

@@ -39,14 +39,22 @@ ref = gen.run_pairs(rgb1, rgb2)
 
 # scan-layout skip names whole stacked trunks: enc_only/dec_only locate
 # WHERE the 512 drift accumulates (encoder stack vs decoder+embed)
+# *_static: STATIC activation scales calibrated on the same input the drift
+# is measured on (best case for static quant — zero calibration mismatch),
+# isolating the per-token→per-tensor activation-scale coarsening cost
 CONFIGS = [
     ("fc1", {"int8_only": SCOPE_TO_ONLY["fc1"]}),
     ("all", {}),
     ("enc_only", {"int8_skip": ("dec_scan", "decoder_embed")}),
     ("dec_only", {"int8_skip": ("enc_scan",)}),
+    ("fc1_static", {"int8_only": SCOPE_TO_ONLY["fc1"],
+                    "int8_calibration": "SAMPLE"}),
+    ("all_static", {"int8_calibration": "SAMPLE"}),
 ]
 
 for scope, kw in CONFIGS:
+    if kw.get("int8_calibration") == "SAMPLE":
+        kw = dict(kw, int8_calibration=(rgb1, rgb2))
     g8 = PseudoGTGenerator(config, params=gen.params, batch_size=batch,
                            quantize_int8=True, **kw)
     out = g8.run_pairs(rgb1, rgb2)

@@ -55,11 +55,31 @@ def main():
         rel = float(np.linalg.norm(dq - depth_f) / norm_f)
         rec = {"config": tag, "rel_rms_drift": round(rel, 5),
                "seconds": round(time.time() - t0, 1), **{
-                   k: (list(v) if isinstance(v, tuple) else v)
+                   k: (list(v) if isinstance(v, tuple)
+                       else f"array{getattr(v, 'shape', '')}"
+                       if isinstance(v, np.ndarray) else v)
                    for k, v in kw.items()}}
         print(json.dumps(rec), flush=True)
         results.append(rec)
         return rel
+
+    if "--static" in sys.argv:
+        # static activation-scale calibration (kernels/quant.py act_scales):
+        # per-tensor scales from ONE float forward replace the per-token
+        # dynamic absmax. Two calibration regimes bound the cost:
+        #   *+cal=same  — calibrated on the measured input (zero mismatch:
+        #                 isolates the per-token→per-tensor coarsening)
+        #   *+cal=held  — calibrated on a DIFFERENT random sample (the
+        #                 realistic deployment regime)
+        held = rng.uniform(21000, 26000, (4, 320, 416)).astype(np.float32)
+        measure("flat")
+        measure("flat+cal=same", int8_calibration=raw)
+        measure("flat+cal=held", int8_calibration=held)
+        measure("fc1_only", int8_only=("fc1",))
+        measure("fc1_only+cal=same", int8_only=("fc1",), int8_calibration=raw)
+        measure("fc1_only+cal=held", int8_only=("fc1",), int8_calibration=held)
+        _write(results)
+        return
 
     if "--equalize" in sys.argv:
         # SmoothQuant-style LN→GEMM fold (kernels/quant.py equalize_ln_gemm):

@@ -48,25 +48,33 @@ rgb2 = jax.random.uniform(ks[1], (batch, h, w, 3))
 
 
 def chain(name, f):
-    """f(x) -> scalar-ish feedback array; chained via x*(1+fb*1e-4)."""
+    """f(params, x) -> scalar-ish feedback array; chained via x*(1+fb*1e-4).
+
+    params MUST be a jit argument, not a closure: closed-over arrays embed
+    as HLO constants and the 1.3 GB of ViT-L weights blow the remote-compile
+    relay's request-size limit (HTTP 413)."""
     @jax.jit
-    def step(x):
-        fb = f(x)
+    def step(params, x):
+        fb = f(params, x)
         return x * (1.0 + jnp.tanh(fb) * 1e-4)
 
     t0 = time.perf_counter()
-    x = step(rgb1)
+    x = step(params, rgb1)
     float(x[0, 0, 0, 0])
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
-        x = step(x)
+        x = step(params, x)
     float(x[0, 0, 0, 0])
     dt = (time.perf_counter() - t0) / iters
     # XLA's own FLOP count for the compiled program -> MFU decomposition
-    # (docs/PERF.md MASt3R-512 section); tolerate both cost_analysis forms
+    # (docs/PERF.md MASt3R-512 section); tolerate both cost_analysis forms.
+    # CAVEAT under --scan: cost_analysis counts a while_loop BODY once, not
+    # xL — scan-rolled trunk flops read ~L x too low; use the analytic GEMM
+    # counts in docs/PERF.md for trunk MFU, and this figure for the
+    # unscanned parts (heads/geometry)
     try:
-        ca = step.lower(rgb1).compile().cost_analysis()
+        ca = step.lower(params, rgb1).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", float("nan")))
@@ -77,36 +85,45 @@ def chain(name, f):
           f"flops={flops/1e9:9.1f} G  ({tfs:6.1f} TF/s)")
 
 
-def fb_full(x):
+# every variant folds a scalar from EVERY live output into the feedback so
+# XLA cannot DCE part of the stage under measurement (the first probe run
+# measured exactly this: fb_full using only pred1 let XLA delete view 2's
+# whole DPT head, which then showed up as phantom "geometry" cost)
+
+
+def _fold(*arrays):
+    return sum(jnp.mean(a.astype(jnp.float32)) for a in arrays)  # scalar
+
+
+def fb_full(params, x):
     pred1, pred2 = model.apply({"params": params}, x, rgb2)
-    return jnp.mean(pred1["pts3d"][..., 2], axis=(1, 2))[:, None, None, None]
+    return _fold(*pred1.values(), *pred2.values())
 
 
-def fb_geom(x):
+def fb_geom(params, x):
     pred1, pred2 = model.apply({"params": params}, x, rgb2)
     pm1 = pred1["pts3d"].astype(jnp.float32)
     pm2 = pred2["pts3d_in_other_view"].astype(jnp.float32)
     k = jax.vmap(estimate_camera_intrinsics_jit)(pm1, pm1[..., 2])
     pose = jax.vmap(extract_relative_pose_jit)(pm1, pm2)
-    return (jnp.mean(k, axis=(1, 2)) + jnp.mean(pose, axis=(1, 2))
-            )[:, None, None, None]
+    return _fold(*pred1.values(), *pred2.values(), k, pose)
 
 
-def fb_enc(x):
+def fb_enc(params, x):
     feats, pos, grid = model.apply({"params": params},
                                    jnp.concatenate([x, rgb2], 0),
                                    method=AsymmetricCroCo3DStereo.encode)
-    return jnp.mean(feats[:batch], axis=(1, 2))[:, None, None, None]
+    return _fold(feats)
 
 
-def fb_encdec(x):
+def fb_encdec(params, x):
     def run(m, a, b):
         feats, pos, grid = m.encode(jnp.concatenate([a, b], 0))
         outs1, outs2 = m.decode(feats[:batch], feats[batch:], pos)
-        return outs1[-1]
+        return outs1[-1], outs2[-1]
 
-    last = model.apply({"params": params}, x, rgb2, method=run)
-    return jnp.mean(last, axis=(1, 2))[:, None, None, None]
+    l1, l2 = model.apply({"params": params}, x, rgb2, method=run)
+    return _fold(l1, l2)
 
 
 chain("encoder only", fb_enc)
