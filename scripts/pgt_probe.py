@@ -100,13 +100,24 @@ def fb_full(params, x):
     return _fold(*pred1.values(), *pred2.values())
 
 
+def fb_nodesc(params, x):
+    # production shape: pseudo_gt/generator.py::_geometry consumes only
+    # pts3d + conf, so XLA DCEs the catmlpdpt desc/desc_conf branch —
+    # fb_full minus this isolates the desc branch's cost
+    pred1, pred2 = model.apply({"params": params}, x, rgb2)
+    return _fold(pred1["pts3d"], pred1["conf"],
+                 pred2["pts3d_in_other_view"], pred2["conf"])
+
+
 def fb_geom(params, x):
+    # the full production step (matches gen._step_impl: geometry on
+    # pts3d/conf only; desc branch DCE'd)
     pred1, pred2 = model.apply({"params": params}, x, rgb2)
     pm1 = pred1["pts3d"].astype(jnp.float32)
     pm2 = pred2["pts3d_in_other_view"].astype(jnp.float32)
     k = jax.vmap(estimate_camera_intrinsics_jit)(pm1, pm1[..., 2])
     pose = jax.vmap(extract_relative_pose_jit)(pm1, pm2)
-    return _fold(*pred1.values(), *pred2.values(), k, pose)
+    return _fold(pred1["pts3d"], pred1["conf"], pm2, pred2["conf"], k, pose)
 
 
 def fb_enc(params, x):
@@ -128,5 +139,6 @@ def fb_encdec(params, x):
 
 chain("encoder only", fb_enc)
 chain("encoder+decoder", fb_encdec)
-chain("forward (with heads)", fb_full)
-chain("forward+geometry (full)", fb_geom)
+chain("forward (all head outputs)", fb_full)
+chain("forward (no desc = prod)", fb_nodesc)
+chain("forward+geometry (prod step)", fb_geom)

@@ -62,6 +62,55 @@ def test_catmlpdpt_head_contract(tiny_config):
     assert pred2["pts3d_in_other_view"].shape == (1, h, w, 3)
 
 
+def test_dpt_head_dtype_param_tree_invariant(tiny_config):
+    """dpt_dtype is a COMPUTE dtype: the param tree (shapes, values, dtypes)
+    must be identical between 'compute' and 'float32' so checkpoints and the
+    torch converter are unaffected."""
+    head = HeadConfig(head_type="catmlpdpt", feature_dim=32, last_dim=16,
+                      dpt_layer_dims=(8, 16, 24, 32), local_feat_dim=6)
+    h, w = tiny_config.img_size
+    img = jnp.zeros((1, h, w, 3))
+    trees = []
+    for dd in ("compute", "float32"):
+        cfg = dataclasses.replace(
+            tiny_config, compute_dtype="bfloat16",
+            head=dataclasses.replace(head, dpt_dtype=dd))
+        model = AsymmetricCroCo3DStereo(cfg)
+        trees.append(model.init(jax.random.key(0), img, img))
+    flat0 = jax.tree_util.tree_leaves_with_path(trees[0])
+    flat1 = jax.tree_util.tree_leaves_with_path(trees[1])
+    assert [p for p, _ in flat0] == [p for p, _ in flat1]
+    for (_, a), (_, b) in zip(flat0, flat1):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dpt_head_compute_dtype_matches_f32_pin(tiny_config):
+    """With f32 compute, 'compute' and 'float32' are the SAME program; with
+    bf16 compute the bf16 head must stay close to the f32-pinned head
+    (regression activations are f32 in both)."""
+    head = HeadConfig(head_type="catmlpdpt", feature_dim=32, last_dim=16,
+                      dpt_layer_dims=(8, 16, 24, 32), local_feat_dim=6)
+
+    def run(compute, dd):
+        cfg = dataclasses.replace(
+            tiny_config, compute_dtype=compute,
+            head=dataclasses.replace(head, dpt_dtype=dd))
+        model = AsymmetricCroCo3DStereo(cfg)
+        h, w = cfg.img_size
+        img1 = jnp.linspace(0, 1, h * w * 3).reshape(1, h, w, 3)
+        img2 = img1[:, :, ::-1, :]
+        params = model.init(jax.random.key(0), img1, img2)
+        pred1, _ = model.apply(params, img1, img2)
+        return np.asarray(pred1["pts3d"], np.float64)
+
+    np.testing.assert_array_equal(run("float32", "compute"),
+                                  run("float32", "float32"))
+    a, b = run("bfloat16", "compute"), run("bfloat16", "float32")
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert rel < 0.02, rel
+
+
 def test_asymmetric_heads_differ(tiny_config):
     """head1 and head2 have independent weights (asymmetric model)."""
     (pred1, pred2), params = _forward(tiny_config, batch=1)

@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["dustr224_linear", "dustr512_dpt",
                             "mastr512_catmlpdpt"],
                    help="model family member (checkpoint architecture)")
+    p.add_argument("--dpt_f32", action="store_true",
+                   help="pin the DPT/catmlpdpt head in f32 (pre-round-4 "
+                        "default; no effect on the linear head, which is "
+                        "always f32). By default the head follows "
+                        "--compute_dtype — docs/PERF.md round-4 MFU section")
     p.add_argument("--ndev", type=int, default=1,
                    help="data-parallel serving over the first N local "
                         "devices (params replicated, batch sharded on a "
@@ -119,6 +124,11 @@ def main(argv=None):
         args.img_size = list(base.img_size)  # variant's native resolution
     config = apply_preset(base, args.model_preset, args.img_size,
                           args.compute_dtype)
+    if args.dpt_f32:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, head=dataclasses.replace(config.head, dpt_dtype="float32"))
     loaded = _load_params(args.weights, config)
     params, head_params = (loaded if loaded else (None, None))
     from thermal3d.cli.common import apply_scan

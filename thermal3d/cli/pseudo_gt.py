@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel generation over the first N local "
                         "devices (params replicated, pair batches sharded; "
                         "batch_size must be a multiple of N)")
+    p.add_argument("--dpt_f32", action="store_true",
+                   help="pin the DPT/catmlpdpt head in f32 (pre-round-4 "
+                        "default). By default the head follows "
+                        "--compute_dtype (bf16 head: +18%% pairs/s at 512 — "
+                        "docs/PERF.md; drift bound in docs/INT8_SWEEP.md)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
@@ -65,6 +70,9 @@ def main(argv=None):
 
     config = apply_preset(MASTR_512_CATMLPDPT, args.model_preset, args.img_size,
                           args.compute_dtype)
+    if args.dpt_f32:
+        config = dataclasses.replace(
+            config, head=dataclasses.replace(config.head, dpt_dtype="float32"))
     params = None
     if args.weights:
         from thermal3d.convert.torch_to_flax import convert_checkpoint

@@ -52,6 +52,14 @@ class HeadConfig:
     desc_conf_mode: Tuple[str, float, float] = ("exp", 0.0, float("inf"))
     two_confs: bool = True
     desc_hidden_dim_factor: float = 4.0
+    # DPT/catmlpdpt head compute dtype: 'compute' follows the model compute
+    # dtype (bf16 in production — the conv pyramid + desc MLP hit the MXU's
+    # native bf16 path; the head stage was 48% of the 512 pseudo-GT step at
+    # 17% MFU when pinned f32 — docs/PERF.md round-4 MFU section);
+    # 'float32' pins the whole head in f32 (pre-round-4 behavior). The final
+    # regression activations (expm1/exp/normalize) are f32 either way, and
+    # the linear head is tiny and always f32.
+    dpt_dtype: str = "compute"  # 'compute' | 'float32'
 
 
 @dataclasses.dataclass(frozen=True)

@@ -150,15 +150,29 @@ class AsymmetricCroCo3DStereo(nn.Module):
         self.dec_norm = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="dec_norm")
 
         head_type = cfg.head.head_type
+        # DPT/catmlpdpt head compute dtype: 'compute' follows the model
+        # compute dtype (bf16 → MXU-native convs; the f32-pinned head was
+        # 48% of the 512 pseudo-GT step at 17% MFU — docs/PERF.md round-4
+        # MFU section). Regression activations stay f32 inside the heads.
+        if cfg.head.dpt_dtype == "compute":
+            dt_head = dt
+        elif cfg.head.dpt_dtype == "float32":
+            dt_head = jnp.float32
+        else:
+            raise ValueError(f"unknown head dpt_dtype {cfg.head.dpt_dtype}")
         if head_type == "linear":
             self.head1 = LinearPts3dHead(cfg.patch_size, cfg.head, name="downstream_head1")
             self.head2 = LinearPts3dHead(cfg.patch_size, cfg.head, name="downstream_head2")
         elif head_type == "dpt":
-            self.head1 = DPTPts3dHead(cfg.patch_size, cfg.head, name="downstream_head1")
-            self.head2 = DPTPts3dHead(cfg.patch_size, cfg.head, name="downstream_head2")
+            self.head1 = DPTPts3dHead(cfg.patch_size, cfg.head, dtype=dt_head,
+                                      name="downstream_head1")
+            self.head2 = DPTPts3dHead(cfg.patch_size, cfg.head, dtype=dt_head,
+                                      name="downstream_head2")
         elif head_type == "catmlpdpt":
-            self.head1 = CatMLPDPTHead(cfg.patch_size, cfg.head, name="downstream_head1")
-            self.head2 = CatMLPDPTHead(cfg.patch_size, cfg.head, name="downstream_head2")
+            self.head1 = CatMLPDPTHead(cfg.patch_size, cfg.head, dtype=dt_head,
+                                       name="downstream_head1")
+            self.head2 = CatMLPDPTHead(cfg.patch_size, cfg.head, dtype=dt_head,
+                                       name="downstream_head2")
         else:
             raise ValueError(f"unknown head_type {head_type}")
 

@@ -1,7 +1,9 @@
 """Downstream heads: linear pointmap head, DPT head, MASt3R cat-MLP+DPT head.
 
-Re-implementations (TPU/NHWC, f32) of the dust3r/mast3r head zoo that the
-reference drives through its external checkout:
+Re-implementations (TPU/NHWC; DPT/catmlpdpt compute in the model dtype with
+f32 regression activations — HeadConfig.dpt_dtype; the linear head is tiny
+and always f32) of the dust3r/mast3r head zoo that the reference drives
+through its external checkout:
   * linear head — DUSt3R-224 training/inference model
     (head_type='linear', thermal_dustr_model.py:36; keys `downstream_head*.proj`
     per model_info.py:296-300)
@@ -97,13 +99,16 @@ class LinearPts3dHead(nn.Module):
 
 class _ResidualConvUnit(nn.Module):
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         out = nn.relu(x)
-        out = nn.Conv(self.features, (3, 3), padding=1, name="conv1")(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=1, name="conv2")(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv2")(out)
         return out + x
 
 
@@ -132,15 +137,19 @@ class _FeatureFusionBlock(nn.Module):
     align_corners=True)."""
 
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, skip=None):
         if skip is not None:
-            x = x + _ResidualConvUnit(self.features, name="resConfUnit1")(skip)
-        x = _ResidualConvUnit(self.features, name="resConfUnit2")(x)
+            x = x + _ResidualConvUnit(self.features, self.dtype,
+                                      name="resConfUnit1")(skip)
+        x = _ResidualConvUnit(self.features, self.dtype,
+                              name="resConfUnit2")(x)
         b, h, w, c = x.shape
         x = _resize_bilinear(x, (2 * h, 2 * w))
-        x = nn.Conv(self.features, (1, 1), name="out_conv")(x)
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                    name="out_conv")(x)
         return x
 
 
@@ -154,50 +163,60 @@ class DPTHead(nn.Module):
 
     cfg: HeadConfig
     num_channels: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hooked_tokens: Sequence[jnp.ndarray], patch_grid: Tuple[int, int]):
         h, w = patch_grid
         fd = self.cfg.feature_dim
         dims = self.cfg.dpt_layer_dims
+        dt = self.dtype
 
         def tokens_to_map(t):
             b, s, d = t.shape
-            return t.astype(jnp.float32).reshape(b, h, w, d)
+            return t.astype(dt).reshape(b, h, w, d)
 
         t0, t1, t2, t3 = (tokens_to_map(t) for t in hooked_tokens)
 
         # act_*_postprocess: project + resample to pyramid scales
-        l1 = nn.Conv(dims[0], (1, 1), name="act1_proj")(t0)
+        l1 = nn.Conv(dims[0], (1, 1), dtype=dt, name="act1_proj")(t0)
         l1 = nn.ConvTranspose(
-            dims[0], (4, 4), strides=(4, 4), padding="VALID", name="act1_up"
+            dims[0], (4, 4), strides=(4, 4), padding="VALID", dtype=dt,
+            name="act1_up"
         )(l1)  # ×4
-        l2 = nn.Conv(dims[1], (1, 1), name="act2_proj")(t1)
+        l2 = nn.Conv(dims[1], (1, 1), dtype=dt, name="act2_proj")(t1)
         l2 = nn.ConvTranspose(
-            dims[1], (2, 2), strides=(2, 2), padding="VALID", name="act2_up"
+            dims[1], (2, 2), strides=(2, 2), padding="VALID", dtype=dt,
+            name="act2_up"
         )(l2)  # ×2
-        l3 = nn.Conv(dims[2], (1, 1), name="act3_proj")(t2)  # ×1
-        l4 = nn.Conv(dims[3], (1, 1), name="act4_proj")(t3)
-        l4 = nn.Conv(dims[3], (3, 3), strides=(2, 2), padding=1, name="act4_down")(l4)  # ÷2
+        l3 = nn.Conv(dims[2], (1, 1), dtype=dt, name="act3_proj")(t2)  # ×1
+        l4 = nn.Conv(dims[3], (1, 1), dtype=dt, name="act4_proj")(t3)
+        l4 = nn.Conv(dims[3], (3, 3), strides=(2, 2), padding=1, dtype=dt,
+                     name="act4_down")(l4)  # ÷2
 
         # scratch.layer*_rn
-        r1 = nn.Conv(fd, (3, 3), padding=1, use_bias=False, name="layer1_rn")(l1)
-        r2 = nn.Conv(fd, (3, 3), padding=1, use_bias=False, name="layer2_rn")(l2)
-        r3 = nn.Conv(fd, (3, 3), padding=1, use_bias=False, name="layer3_rn")(l3)
-        r4 = nn.Conv(fd, (3, 3), padding=1, use_bias=False, name="layer4_rn")(l4)
+        r1 = nn.Conv(fd, (3, 3), padding=1, use_bias=False, dtype=dt,
+                     name="layer1_rn")(l1)
+        r2 = nn.Conv(fd, (3, 3), padding=1, use_bias=False, dtype=dt,
+                     name="layer2_rn")(l2)
+        r3 = nn.Conv(fd, (3, 3), padding=1, use_bias=False, dtype=dt,
+                     name="layer3_rn")(l3)
+        r4 = nn.Conv(fd, (3, 3), padding=1, use_bias=False, dtype=dt,
+                     name="layer4_rn")(l4)
 
-        p4 = _FeatureFusionBlock(fd, name="refinenet4")(r4)
-        p3 = _FeatureFusionBlock(fd, name="refinenet3")(p4, r3)
-        p2 = _FeatureFusionBlock(fd, name="refinenet2")(p3, r2)
-        p1 = _FeatureFusionBlock(fd, name="refinenet1")(p2, r1)
+        p4 = _FeatureFusionBlock(fd, dt, name="refinenet4")(r4)
+        p3 = _FeatureFusionBlock(fd, dt, name="refinenet3")(p4, r3)
+        p2 = _FeatureFusionBlock(fd, dt, name="refinenet2")(p3, r2)
+        p1 = _FeatureFusionBlock(fd, dt, name="refinenet1")(p2, r1)
 
         # output head: conv3x3 → ×2 upsample → conv3x3 → relu → conv1x1
-        x = nn.Conv(fd // 2, (3, 3), padding=1, name="head0")(p1)
+        x = nn.Conv(fd // 2, (3, 3), padding=1, dtype=dt, name="head0")(p1)
         b, hh, ww, _ = x.shape
         x = _resize_bilinear(x, (2 * hh, 2 * ww))
-        x = nn.Conv(self.cfg.last_dim, (3, 3), padding=1, name="head2")(x)
+        x = nn.Conv(self.cfg.last_dim, (3, 3), padding=1, dtype=dt,
+                    name="head2")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.num_channels, (1, 1), name="head4")(x)
+        x = nn.Conv(self.num_channels, (1, 1), dtype=dt, name="head4")(x)
         return x  # [B, H, W, num_channels]
 
 
@@ -206,10 +225,13 @@ class DPTPts3dHead(nn.Module):
 
     patch_size: int
     cfg: HeadConfig
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hooked_tokens: Sequence[jnp.ndarray], patch_grid: Tuple[int, int]):
-        fmap = DPTHead(self.cfg, num_channels=4, name="dpt")(hooked_tokens, patch_grid)
+        fmap = DPTHead(self.cfg, num_channels=4, dtype=self.dtype,
+                       name="dpt")(hooked_tokens, patch_grid)
+        fmap = fmap.astype(jnp.float32)  # regression activations in f32
         return {
             "pts3d": reg_dense_pts3d(fmap[..., 0:3], self.cfg.depth_mode),
             "conf": reg_dense_conf(fmap[..., 3], self.cfg.conf_mode),
@@ -230,24 +252,27 @@ class CatMLPDPTHead(nn.Module):
 
     patch_size: int
     cfg: HeadConfig
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hooked_tokens: Sequence[jnp.ndarray], patch_grid: Tuple[int, int],
                  enc_tokens: jnp.ndarray, dec_tokens: jnp.ndarray):
-        out = DPTPts3dHead(self.patch_size, self.cfg, name="dpt_head")(
-            hooked_tokens, patch_grid
-        )
+        out = DPTPts3dHead(self.patch_size, self.cfg, dtype=self.dtype,
+                           name="dpt_head")(hooked_tokens, patch_grid)
         p = self.patch_size
+        dt = self.dtype
         cat = jnp.concatenate(
-            [enc_tokens.astype(jnp.float32), dec_tokens.astype(jnp.float32)], axis=-1
+            [enc_tokens.astype(dt), dec_tokens.astype(dt)], axis=-1
         )
         idim = cat.shape[-1]
         ldim = self.cfg.local_feat_dim
         nout = (ldim + int(self.cfg.two_confs)) * p * p
-        x = nn.Dense(int(self.cfg.desc_hidden_dim_factor * idim), name="mlp_fc1")(cat)
+        x = nn.Dense(int(self.cfg.desc_hidden_dim_factor * idim), dtype=dt,
+                     name="mlp_fc1")(cat)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(nout, name="mlp_fc2")(x)
+        x = nn.Dense(nout, dtype=dt, name="mlp_fc2")(x)
         fmap = pixel_shuffle_tokens(x, patch_grid, p)  # [B, H, W, ldim(+1)]
+        fmap = fmap.astype(jnp.float32)  # regression activations in f32
         out["desc"] = reg_desc(fmap[..., :ldim])
         if self.cfg.two_confs:
             out["desc_conf"] = reg_dense_conf(fmap[..., ldim], self.cfg.desc_conf_mode)
