@@ -95,6 +95,47 @@ def test_cli_infer_end_to_end_tiny(tmp_path, rng):
     assert d.shape == (32, 32) and np.isfinite(d).all()
 
 
+def test_cli_ais_investigate_end_to_end_tiny(tmp_path, rng):
+    """Staged OOD investigation driver: all three notebook stages over the
+    same frames, AIS_DATA-layout stage dirs + quantitative report."""
+    import cv2
+    import numpy as np
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(frames / f"s0_t_{i}.png"),
+                    rng.integers(21000, 26000, (40, 48)).astype(np.uint16))
+    out = tmp_path / "ais"
+    from thermal3d.cli.ais_investigate import main
+
+    n_rows = main(["--img_path", str(frames), "--output_dir", str(out),
+                   "--img_size", "32", "32", "--model_preset", "tiny",
+                   "--compute_dtype", "float32", "--no_vis"])
+    assert n_rows == 2 * 3  # 2 frames x 3 stages
+    for stage in ("original", "preprocessed", "final"):
+        d = np.load(out / stage / "s0_t_0_depth.npy")
+        assert d.shape == (32, 32) and np.isfinite(d).all()
+    report = (out / "investigation.md").read_text()
+    assert "| s0_t_0 | final |" in report and "blockiness" in report
+    # refinement changes the depth map; enhancement changes the model input
+    d_orig = np.load(out / "original" / "s0_t_0_depth.npy")
+    d_pre = np.load(out / "preprocessed" / "s0_t_0_depth.npy")
+    d_fin = np.load(out / "final" / "s0_t_0_depth.npy")
+    assert not np.allclose(d_orig, d_pre) and not np.allclose(d_pre, d_fin)
+
+
+def test_ais_investigate_parser():
+    from thermal3d.cli.ais_investigate import STAGES, build_parser
+
+    args = build_parser().parse_args(["--img_path", "x"])
+    assert args.stages == ["original", "preprocessed", "final"]
+    assert set(args.stages) <= set(STAGES)
+    args2 = build_parser().parse_args(
+        ["--img_path", "x", "--stages", "original", "advanced"])
+    assert args2.stages == ["original", "advanced"]
+
+
 def test_cli_pseudo_gt_end_to_end_tiny(tmp_path, rng):
     import cv2
     import numpy as np
