@@ -56,7 +56,8 @@ def bench_train(batch: int, n_iters: int, remat: bool, scan: bool = False):
                                  remat=remat, scan_layers=scan)
     model = AsymmetricCroCo3DStereo(config)
     cfg = TrainConfig(batch_size=batch, use_enhanced_loss=True,
-                      flatten_optimizer="--flatten-opt" in sys.argv)
+                      flatten_optimizer="--flatten-opt" in sys.argv,
+                      mu_dtype="bfloat16" if "--mu-bf16" in sys.argv else None)
     h, w = config.img_size
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
     params = jax.jit(lambda k: model.init(k, dummy, dummy))(jax.random.key(0))["params"]

@@ -127,6 +127,31 @@ def test_flatten_optimizer_matches_per_leaf(tiny_config, rng, cpu_devices):
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
 
 
+def test_mu_bf16_optimizer_tracks_f32(tiny_config, rng, cpu_devices):
+    """mu_dtype='bfloat16' (AdamW first moment stored bf16) must track the
+    f32-moment run closely over a few steps, and actually store m in bf16."""
+    mesh = make_mesh((-1,), ("data",), devices=cpu_devices)
+    model = AsymmetricCroCo3DStereo(tiny_config)
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    params = model.init(jax.random.key(0), img, img)["params"]
+    batch = shard_batch(mesh, _tiny_batch(rng))
+    losses = {}
+    for mu in (None, "bfloat16"):
+        cfg = TrainConfig(lr=1e-3, mu_dtype=mu)
+        p = jax.tree_util.tree_map(jnp.array, params)
+        state = create_train_state(model, p, cfg, steps_per_epoch=10)
+        if mu == "bfloat16":
+            mus = jax.tree_util.tree_leaves(state.opt_state[1][0].mu)
+            assert all(m.dtype == jnp.bfloat16 for m in mus)
+        step = make_train_step(model, cfg, mesh)
+        for _ in range(3):
+            state, metrics = step(state, batch)
+        losses[mu] = float(metrics["loss"])
+    # bf16 m rounds each update's momentum; after 3 steps the losses must
+    # agree to bf16-ish relative precision (drift compounds slowly)
+    np.testing.assert_allclose(losses["bfloat16"], losses[None], rtol=2e-2)
+
+
 def test_grad_accumulation(tiny_config, rng):
     """accumulation_steps>1 is real here (dead flag in the reference)."""
     model = AsymmetricCroCo3DStereo(tiny_config)

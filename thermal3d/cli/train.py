@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh shape over available devices")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_wandb", action="store_true")
+    p.add_argument("--mu_bf16", action="store_true",
+                   help="store the AdamW first moment in bfloat16 (halves "
+                        "its HBM bytes; second moment stays f32 — "
+                        "docs/PERF.md round-4 optimizer-dtype note)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize transformer blocks in the backward "
                         "pass — trades ~24%% throughput for activation "
@@ -103,6 +107,7 @@ def main(argv=None):
                         detail_weight=args.detail_weight,
                         multi_scale=args.multi_scale),
         mesh_shape=tuple(args.mesh_shape),
+        mu_dtype="bfloat16" if args.mu_bf16 else None,
     )
 
     dataset = FreiburgPairDataset(

@@ -204,6 +204,12 @@ class TrainConfig:
     # ~600 per-leaf updates — trades a grad concat/unflatten for the
     # small-op overhead the train profile shows (docs/PERF.md round 3)
     flatten_optimizer: bool = False
+    # AdamW first-moment dtype: 'bfloat16' halves the m-buffer HBM bytes
+    # (~1.2 GB at ViT-L f32) against the per-leaf update DMA the round-3
+    # train profile measured; None keeps optax's default (param dtype, f32).
+    # The second moment stays f32 (bf16 v loses too much precision around
+    # eps). Opt-in measurement lever — bench.py --train --mu-bf16.
+    mu_dtype: Optional[str] = None
     use_enhanced_loss: bool = True
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     seed: int = 0

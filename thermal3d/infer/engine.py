@@ -5,7 +5,9 @@ Re-designs thermal_dustr_inference.py:63-159 TPU-first: the reference runs one
 frame at a time through host-side numpy preprocessing and an unfused torch
 forward; here decode stays on host while normalize→resize→percentile-enhance→
 (optional learnable thermal head)→model→depth-extract is ONE jitted program
-over a batch, bf16 on the MXU with f32 heads, Pallas fused attention.
+over a batch, bf16 on the MXU (the linear 224 head and all regression
+activations stay f32; DPT/catmlpdpt conv heads follow the compute dtype —
+HeadConfig.dpt_dtype), Pallas fused attention.
 """
 
 from __future__ import annotations

@@ -51,7 +51,9 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTran
     schedule = make_lr_schedule(cfg, steps_per_epoch)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=cfg.weight_decay),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=cfg.weight_decay,
+                    mu_dtype=getattr(cfg, "mu_dtype", None)),
     )
     if getattr(cfg, "flatten_optimizer", False):
         # one flat-vector AdamW instead of ~600 per-leaf updates; numerics
