@@ -190,9 +190,11 @@ def bench_pseudo_gt(batch: int, n_iters: int, attn: str, scan: bool = False,
         for _ in range(2):
             if dt_big > dt_small:
                 break
-            # relay contention hit BOTH big passes: differencing would print
-            # a nonpositive/absurd pairs-per-sec — retry the big pass
-            dt_big = min(dt_big, timed(n_big)[0])
+            # dt_big <= dt_small means contention inflated the SMALL passes
+            # (the big-pass min can only shrink, so retrying it could never
+            # satisfy the guard) — re-time the small pass, whose min can
+            # only decrease, and it is also the cheapest measurement
+            dt_small = min(dt_small, timed(n_small)[0])
         if dt_big <= dt_small:
             raise SystemExit(
                 f"chained measurement corrupted: big-pass time {dt_big:.3f}s "

@@ -45,6 +45,25 @@ def test_int8_equalize_without_int8_is_an_error():
                         "--int8_equalize"])
 
 
+def test_infer_incompatible_flag_pairs_fail_at_parser():
+    """Known-incompatible combinations must die at the parser, not as deep
+    tracebacks after model load/compile."""
+    from thermal3d.cli import infer
+
+    # static act scales are per-tensor; grouped weight scales would need
+    # per-group act ranges (quantize_params_int8 rejects it much later)
+    with pytest.raises(SystemExit):
+        infer.main(["--img_path", "x.png", "--int8", "--int8_static_acts",
+                    "--int8_group_size", "128"])
+    # stereo / fire-scene modes run batch-1 programs that cannot shard
+    with pytest.raises(SystemExit):
+        infer.main(["--img_path", "a.png", "--img_path2", "b.png",
+                    "--ndev", "2", "--batch_size", "2"])
+    with pytest.raises(SystemExit):
+        infer.main(["--img_path", "a.png", "--fire_scene", "--ndev", "2",
+                    "--batch_size", "2"])
+
+
 def test_evaluate_parser():
     from thermal3d.cli.evaluate import build_parser
 

@@ -81,15 +81,19 @@ def _stage_stats(depth: np.ndarray) -> dict:
       (≈1 for smooth output; the refinement stage should pull it down).
     """
     finite = np.isfinite(depth)
+    fin = depth[finite] if finite.any() else np.zeros(1, depth.dtype)
+    # gradients still use a zero-filled map (diff needs the grid), but the
+    # range stats are masked — a single NaN pixel must not inject a fake
+    # 0.0 into the min/range headline the stages are compared on
     d = np.where(finite, depth, 0.0)
     gx = np.abs(np.diff(d, axis=1))
     grid = gx[:, 15::16]  # columns crossing a ViT patch boundary
     off = np.delete(gx, np.s_[15::16], axis=1)
     blockiness = float(grid.mean() / max(off.mean(), 1e-12))
     return {
-        "min": float(d.min()), "max": float(d.max()),
-        "mean": float(d.mean()),
-        "range": float(d.max() - d.min()),
+        "min": float(fin.min()), "max": float(fin.max()),
+        "mean": float(fin.mean()),
+        "range": float(fin.max() - fin.min()),
         "finite_frac": float(finite.mean()),
         "blockiness": blockiness,
     }
@@ -134,6 +138,8 @@ def main(argv=None):
               "--model_variant", args.model_variant,
               "--compute_dtype", args.compute_dtype,
               "--model_preset", args.model_preset]
+    if args.scan_layers:  # from add_preset_flag — forward, don't drop
+        common += ["--scan_layers"]
     if args.weights:
         common += ["--weights", args.weights]
     if args.img_size:

@@ -115,6 +115,22 @@ def main(argv=None):
         # silent no-ops (fail-loud convention, matching cli.parity)
         build_parser().error(
             "--int8_equalize/--int8_static_acts require --int8")
+    if args.int8_static_acts and args.int8_group_size:
+        # quantize_params_int8 rejects this pair anyway, but only after the
+        # model is built and a full calibration forward has run — fail at
+        # the parser instead (static act scales are per-tensor; grouped
+        # weight scales would need per-group act ranges)
+        build_parser().error(
+            "--int8_static_acts is incompatible with --int8_group_size")
+    if args.ndev > 1 and (args.img_path2 or args.fire_scene
+                          or args.advanced_fire):
+        # stereo and fire-scene modes run single-frame batches through
+        # engine.infer, which cannot be sharded over >1 device — without
+        # this guard they crash with a raw divisibility ValueError after
+        # the full model load/compile
+        build_parser().error(
+            "--ndev > 1 supports only the directory-batch monocular path "
+            "(stereo/--fire_scene/--advanced_fire run batch-1 programs)")
     from thermal3d.cli.common import apply_preset
 
     base = {"dustr224_linear": DUSTR_224_LINEAR,
@@ -125,8 +141,6 @@ def main(argv=None):
     config = apply_preset(base, args.model_preset, args.img_size,
                           args.compute_dtype)
     if args.dpt_f32:
-        import dataclasses
-
         config = dataclasses.replace(
             config, head=dataclasses.replace(config.head, dpt_dtype="float32"))
     loaded = _load_params(args.weights, config)
@@ -142,6 +156,9 @@ def main(argv=None):
 
     int8_calibration = None
     if args.int8_static_acts:
+        # the first batch is decoded once more inside infer_paths — a
+        # one-time ~6 ms/frame host cost, dwarfed by the calibration
+        # forward + int8 compile this run already pays
         from thermal3d.preprocess.io import load_thermal_images_batch
 
         grays, _ = load_thermal_images_batch(

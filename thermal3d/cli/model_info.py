@@ -174,7 +174,7 @@ def draw_architecture_diagram(arch: Dict, save_path: str) -> None:
     heads = arch.get("heads", []) or ["downstream_head1", "downstream_head2"]
     ys = (3.7, 1.4) if len(heads) >= 2 else (2.5,)
     for name, y in zip(heads, ys):
-        arrow(7.6, y - 0.0 if y > 2 else y, 8.3, y)
+        arrow(7.6, y, 8.3, y)
         box(8.3, y - 0.5, 2.3, 1.0, f"{name}\npts3d + conf", "#f7e3cf")
     ax.set_title("AsymmetricCroCo3DStereo — reconstructed architecture")
     fig.savefig(save_path, dpi=110, bbox_inches="tight")

@@ -25,6 +25,46 @@ def split_index(n: int, val_fraction: float = 0.2, seed: int = 0
     return perm[:n_train], perm[n_train:]
 
 
+def pipelined_batches(chunks: Sequence, decode, dispatch, consume,
+                      prefetch: int = 2) -> None:
+    """Host-decode / device-compute / fetch overlap shared by
+    `InferenceEngine.infer_paths` and `pseudo_gt.generate_pseudo_gt`.
+
+    A single background thread decodes chunks i+1..i+prefetch while the
+    device computes chunk i, and chunk i's results are consumed (fetched /
+    written) only AFTER chunk i+1 has been dispatched — so decode, compute,
+    and fetch all overlap while results stay in submission order.
+
+    decode(chunk)     runs on the background thread; its return value is
+                      handed to dispatch on the main thread.
+    dispatch(decoded) launches device work; returns an inflight token
+                      (anything identifying the async result) or None to
+                      skip the chunk (e.g. every frame failed to decode).
+    consume(token)    blocks on / writes out a previously dispatched token.
+
+    One decode thread is enough: the native loader parallelizes within a
+    batch, and results must be consumed in order anyway.
+    """
+    inflight = None
+    with cf.ThreadPoolExecutor(1) as pool:
+        pending: collections.deque = collections.deque(
+            pool.submit(decode, c) for c in chunks[: prefetch + 1])
+        next_i = len(pending)
+        for _ in range(len(chunks)):
+            decoded = pending.popleft().result()
+            if next_i < len(chunks):
+                pending.append(pool.submit(decode, chunks[next_i]))
+                next_i += 1
+            token = dispatch(decoded)
+            if token is None:
+                continue
+            if inflight is not None:  # consume i-1 after dispatching i
+                consume(inflight)
+            inflight = token
+        if inflight is not None:
+            consume(inflight)
+
+
 class BatchLoader:
     """Iterable over stacked numpy batches with background prefetch.
 

@@ -222,50 +222,36 @@ class InferenceEngine:
         The returned dict carries a "paths" list of the frames that actually
         decoded, row-aligned with every array — callers must zip against it,
         not the input list, since failed decodes are dropped."""
-        import collections
-        import concurrent.futures as cf
-
+        from thermal3d.data.pipeline import pipelined_batches
         from thermal3d.preprocess.io import load_thermal_images_batch
 
         chunks = [paths[i : i + batch_size]
                   for i in range(0, len(paths), batch_size)]
 
         def decode(chunk):
-            # the native loader parallelizes within the batch; one pipeline
-            # thread is enough to hide decode behind device compute
             return load_thermal_images_batch(
                 chunk, normalize=True, out_hw=self.config.img_size)
 
         outs: List[Dict[str, np.ndarray]] = []
         ok_paths: List[str] = []
 
-        def fetch(dev_out, real):
+        def dispatch(decoded):
+            grays, survivors = decoded
+            if not grays:
+                return None
+            real = len(grays)
+            ok_paths.extend(survivors)
+            if pad_final and real < batch_size:
+                grays = list(grays) + [grays[-1]] * (batch_size - real)
+            return (self.infer_async(np.stack(grays)), real)
+
+        def fetch(token):
+            dev_out, real = token
             sel = dev_out if outputs is None else {
                 k: dev_out[k] for k in outputs}
             outs.append({k: np.asarray(v)[:real] for k, v in sel.items()})
 
-        inflight = None  # (device output dict, real row count)
-        with cf.ThreadPoolExecutor(1) as pool:
-            pending: collections.deque = collections.deque(
-                pool.submit(decode, c) for c in chunks[: prefetch + 1])
-            next_i = len(pending)
-            for _ in range(len(chunks)):
-                grays, survivors = pending.popleft().result()
-                if next_i < len(chunks):
-                    pending.append(pool.submit(decode, chunks[next_i]))
-                    next_i += 1
-                if not grays:
-                    continue
-                real = len(grays)
-                ok_paths.extend(survivors)
-                if pad_final and real < batch_size:
-                    grays = list(grays) + [grays[-1]] * (batch_size - real)
-                dev_out = self.infer_async(np.stack(grays))
-                if inflight is not None:  # fetch i-1 after dispatching i
-                    fetch(*inflight)
-                inflight = (dev_out, real)
-            if inflight is not None:
-                fetch(*inflight)
+        pipelined_batches(chunks, decode, dispatch, fetch, prefetch=prefetch)
         if not outs:
             return {}
         result = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}

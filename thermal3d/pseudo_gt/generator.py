@@ -264,31 +264,22 @@ def generate_pseudo_gt(pairs: List[Dict[str, str]], output_dir: str,
 
     # pipelined: a background thread decodes chunk i+1/i+2 while the device
     # computes chunk i; chunk i's fetch + npy writes happen only after chunk
-    # i+1 is dispatched (same overlap structure as InferenceEngine.infer_paths)
-    import collections
-    import concurrent.futures as cf
+    # i+1 is dispatched (pipelined_batches — shared with infer_paths)
+    from thermal3d.data.pipeline import pipelined_batches
 
     chunks = [pairs[i : i + bs] for i in range(0, len(pairs), bs)]
-    inflight = None  # (dev_out, names, imgs1, imgs2, real)
-    with cf.ThreadPoolExecutor(1) as pool:
-        pending: collections.deque = collections.deque(
-            pool.submit(decode_chunk, c) for c in chunks[:3])
-        next_i = len(pending)
-        for _ in range(len(chunks)):
-            imgs1, imgs2, names = pending.popleft().result()
-            if next_i < len(chunks):
-                pending.append(pool.submit(decode_chunk, chunks[next_i]))
-                next_i += 1
-            if not imgs1:
-                continue
-            real = len(imgs1)
-            while len(imgs1) < bs:  # pad to static batch
-                imgs1.append(imgs1[-1])
-                imgs2.append(imgs2[-1])
-            dev_out = generator.run_pairs_async(np.stack(imgs1), np.stack(imgs2))
-            if inflight is not None:
-                write_batch(*inflight)
-            inflight = (dev_out, names, imgs1, imgs2, real)
-        if inflight is not None:
-            write_batch(*inflight)
+
+    def dispatch(decoded):
+        imgs1, imgs2, names = decoded
+        if not imgs1:
+            return None
+        real = len(imgs1)
+        while len(imgs1) < bs:  # pad to static batch
+            imgs1.append(imgs1[-1])
+            imgs2.append(imgs2[-1])
+        dev_out = generator.run_pairs_async(np.stack(imgs1), np.stack(imgs2))
+        return (dev_out, names, imgs1, imgs2, real)
+
+    pipelined_batches(chunks, decode_chunk, dispatch,
+                      lambda token: write_batch(*token))
     return n_written
