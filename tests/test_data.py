@@ -220,3 +220,39 @@ def test_rgb_thermal_dataset_and_factory(freiburg_tree, tmp_path, rng):
                                          day_only=True)
     batches = list(tr)
     assert batches and batches[0]["rgb"].shape == (4, 16, 16, 3)
+
+
+def test_pipelined_batches_ordering_and_skip():
+    """pipelined_batches preserves submission order, consumes token i only
+    after dispatching token i+1, skips None dispatches, and decodes every
+    chunk exactly once."""
+    import threading
+
+    from thermal3d.data.pipeline import pipelined_batches
+
+    chunks = list(range(7))
+    decoded, consumed, events = [], [], []
+    lock = threading.Lock()
+
+    def decode(c):
+        with lock:
+            decoded.append(c)
+        return c
+
+    def dispatch(d):
+        events.append(("dispatch", d))
+        return None if d == 3 else d  # chunk 3: every frame failed
+
+    def consume(t):
+        events.append(("consume", t))
+        consumed.append(t)
+
+    pipelined_batches(chunks, decode, dispatch, consume, prefetch=2)
+    assert sorted(decoded) == chunks  # each decoded exactly once
+    assert consumed == [0, 1, 2, 4, 5, 6]  # in order, 3 skipped
+    # token i is consumed only AFTER some later dispatch (overlap contract)
+    for tok in consumed[:-1]:
+        i_c = events.index(("consume", tok))
+        later_dispatches = [e for e in events[:i_c] if e[0] == "dispatch"
+                            and e[1] > tok]
+        assert later_dispatches, f"token {tok} consumed before dispatching a later chunk"
