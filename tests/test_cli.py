@@ -336,3 +336,26 @@ def test_infer_model_variant_dpt(tmp_path, rng):
     files = list(out.glob("*_depth.npy"))
     assert len(files) == 1
     assert np.load(files[0]).shape == (64, 64)
+
+
+def test_cli_explore_end_to_end(tmp_path, rng):
+    """Census + sample-panel browser through one CLI (C26 + the
+    visualize_dataset drive browser)."""
+    import cv2
+    import numpy as np
+
+    d = tmp_path / "train" / "seq_00_day" / "00"
+    (d / "fl_rgb").mkdir(parents=True)
+    (d / "fl_ir_aligned").mkdir(parents=True)
+    cv2.imwrite(str(d / "fl_rgb" / "fl_rgb_0.png"),
+                rng.integers(0, 255, (16, 16, 3)).astype(np.uint8))
+    cv2.imwrite(str(d / "fl_ir_aligned" / "fl_ir_aligned_0.png"),
+                rng.integers(21000, 26000, (16, 16)).astype(np.uint16))
+    from thermal3d.cli.explore import main
+
+    out = tmp_path / "samples"
+    report = main(["--dataset_dir", str(tmp_path), "--samples", "1",
+                   "--output_dir", str(out)])
+    assert report["extension_counts"][".png"] == 2
+    assert len(report["thermal_dirs"]) == 1
+    assert len(list(out.glob("*.png"))) == 1

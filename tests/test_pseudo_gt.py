@@ -432,3 +432,60 @@ def test_debug_loading_diagnostic(mini_freiburg, capsys):
         ["--dataset_dir", "d", "--pseudo_gt_dir", "g", "--weights", "w",
          "--output_model", "o", "--debug_loading", "0"])
     assert args.debug_loading == 0
+
+
+def test_viz_enhanced_thermal_and_borders(tmp_path, rng):
+    """Border removal crops exactly to the >threshold bounding box;
+    visualize_enhanced_thermal returns the model-input enhancement
+    (visualize.py:236-345) and writes the two-panel figure."""
+    import cv2
+
+    from thermal3d.viz.panels import (colorize_ir, remove_black_borders,
+                                      visualize_enhanced_thermal,
+                                      visualize_ir_standalone)
+
+    img = np.zeros((20, 24), np.uint16)
+    img[3:17, 5:21] = rng.integers(21000, 26000, (14, 16)).astype(np.uint16)
+    assert remove_black_borders(img).shape == (14, 16)
+    assert remove_black_borders(np.zeros((4, 4), np.uint16)).shape == (4, 4)
+
+    p = tmp_path / "ir.png"
+    cv2.imwrite(str(p), img)
+    colored = colorize_ir(str(p))
+    assert colored.shape == (20, 24, 3) and colored.dtype == np.uint8
+    out = visualize_ir_standalone(str(p), save_path=str(tmp_path / "s.png"))
+    assert out.shape == (20, 24, 3) and (tmp_path / "s.png").exists()
+
+    enh = visualize_enhanced_thermal(str(p), img_size=(16, 16),
+                                     save_path=str(tmp_path / "e.png"))
+    assert enh.shape == (16, 16, 3) and np.isfinite(enh).all()
+    assert float(enh.min()) >= 0.0 and float(enh.max()) <= 1.0
+    assert (tmp_path / "e.png").exists()
+
+
+def test_viz_dataset_drive_browser(tmp_path, rng):
+    """find_drive_folders / load_images_from_drive / visualize_dataset over a
+    synthetic Freiburg tree (visualize.py:543-694)."""
+    import cv2
+
+    from thermal3d.viz.sampler import (find_drive_folders,
+                                       load_images_from_drive,
+                                       visualize_dataset)
+
+    for seq, sub in [("seq_00_day", "00"), ("seq_01_night", "00")]:
+        d = tmp_path / "train" / seq / sub
+        (d / "fl_rgb").mkdir(parents=True)
+        (d / "fl_ir_aligned").mkdir(parents=True)
+        for i in range(2):
+            cv2.imwrite(str(d / "fl_rgb" / f"fl_rgb_{i}.png"),
+                        rng.integers(0, 255, (16, 16, 3)).astype(np.uint8))
+            cv2.imwrite(str(d / "fl_ir_aligned" / f"fl_ir_aligned_{i}.png"),
+                        rng.integers(21000, 26000, (16, 16)).astype(np.uint16))
+
+    drives = find_drive_folders(str(tmp_path))
+    assert len(drives) == 2 and drives[0][0] == "seq_00_day"
+    rgb, ir = load_images_from_drive(drives[0][2])  # recursive fallback
+    assert len(rgb) == 2 and len(ir) == 2
+    out = tmp_path / "samples"
+    n = visualize_dataset(str(tmp_path), num_samples=3, output_dir=str(out))
+    assert n == 3 and len(list(out.glob("*.png"))) == 3

@@ -161,6 +161,107 @@ def visualize_ir(thermal_raw: np.ndarray, save_path: Optional[str] = None):
     return fig
 
 
+def remove_black_borders(img: np.ndarray, threshold: float = 100.0
+                         ) -> np.ndarray:
+    """Crop an IR frame to the bounding box of pixels above `threshold`
+    (dead sensor borders read ~0 raw counts; visualize.py:250-264). Returns
+    the input unchanged when everything is at/below threshold."""
+    img = np.asarray(img)
+    non_black = img > threshold
+    rows, cols = np.any(non_black, axis=1), np.any(non_black, axis=0)
+    if not rows.any() or not cols.any():
+        return img
+    r, c = np.where(rows)[0], np.where(cols)[0]
+    return img[r[0]:r[-1] + 1, c[0]:c[-1] + 1]
+
+
+def colorize_ir(ir, min_val: float = FREIBURG_RAW_MIN,
+                max_val: float = FREIBURG_VIZ_MAX) -> np.ndarray:
+    """IR raw counts → JET RGB uint8 array over the fixed display window
+    (visualize_ir_standalone, visualize.py:347-378; the array-returning
+    sibling of `visualize_ir`'s figure). Accepts a path or an array."""
+    if isinstance(ir, str):
+        import cv2
+
+        ir = cv2.imread(ir, cv2.IMREAD_ANYDEPTH)
+        if ir is None:
+            raise FileNotFoundError(f"could not read IR image: {ir}")
+    t = np.clip((np.asarray(ir, np.float32) - min_val)
+                / max(max_val - min_val, 1e-6), 0, 1)
+    return (plt.get_cmap("jet")(t)[..., :3] * 255).astype(np.uint8)
+
+
+def visualize_ir_standalone(ir, min_val: float = FREIBURG_RAW_MIN,
+                            max_val: float = FREIBURG_VIZ_MAX,
+                            save_path: Optional[str] = None) -> np.ndarray:
+    """Colorized IR with an optional before/after panel
+    (visualize.py:347-378). Returns the colorized RGB uint8 array."""
+    if isinstance(ir, str):
+        import cv2
+
+        ir = cv2.imread(ir, cv2.IMREAD_ANYDEPTH)
+    ir = np.asarray(ir)
+    colored = colorize_ir(ir, min_val, max_val)
+    if save_path:
+        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+        axes[0].imshow(ir, cmap="gray")
+        axes[0].set_title("Original")
+        axes[1].imshow(colored)
+        axes[1].set_title("Processed")
+        for ax in axes:
+            ax.axis("off")
+        plt.tight_layout()
+        fig.savefig(save_path, dpi=110)
+        plt.close(fig)
+    return colored
+
+
+def visualize_enhanced_thermal(thermal_path: str, img_size=(224, 224),
+                               min_val: Optional[float] = None,
+                               max_val: Optional[float] = None,
+                               cmap: str = "jet",
+                               save_path: Optional[str] = None) -> np.ndarray:
+    """Border-cropped + percentile-enhanced thermal display next to the raw
+    JET view (visualize.py:236-345): load → remove black borders → the
+    dataset-loader normalization (/65535) → resize → the SAME
+    enhance_thermal_contrast the model sees → luma → 2/98-percentile display
+    window → colormap. Returns the enhanced [H,W,3] float array (the model
+    input), NHWC instead of the reference's CHW tensor."""
+    import cv2
+
+    import jax.numpy as jnp
+
+    from thermal3d.preprocess.enhance import enhance_thermal_contrast
+
+    raw = cv2.imread(thermal_path, cv2.IMREAD_ANYDEPTH)
+    if raw is None:
+        raise FileNotFoundError(f"could not read thermal image: {thermal_path}")
+    cropped = remove_black_borders(raw)
+    scale = 65535.0 if cropped.dtype == np.uint16 else 255.0
+    img = cropped.astype(np.float32) / scale
+    img = cv2.resize(img, tuple(img_size))
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    enhanced = np.asarray(enhance_thermal_contrast(jnp.asarray(img)))
+    viz = (0.299 * enhanced[..., 0] + 0.587 * enhanced[..., 1]
+           + 0.114 * enhanced[..., 2])
+    if min_val is None or max_val is None:
+        min_val, max_val = np.percentile(viz, (2, 98))
+    viz = np.clip((viz - min_val) / (max_val - min_val + 1e-6), 0, 1)
+    if save_path:
+        fig, axes = plt.subplots(1, 2, figsize=(15, 6))
+        axes[0].imshow(colorize_ir(raw))
+        axes[0].set_title("Original Thermal Image")
+        axes[1].imshow(viz, cmap=cmap)
+        axes[1].set_title("Enhanced Thermal Image")
+        for ax in axes:
+            ax.axis("off")
+        plt.tight_layout()
+        fig.savefig(save_path, dpi=110)
+        plt.close(fig)
+    return enhanced
+
+
 def overlay_rgb_thermal(rgb: np.ndarray, thermal: np.ndarray, alpha: float = 0.5
                         ) -> np.ndarray:
     """RGB/thermal blend (visualize.py:608-618). Returns [H,W,3] float."""

@@ -101,3 +101,88 @@ def sample_dataset(dataset, n: int = 4, seed: int = 0,
         plt.close(fig)
         return None
     return fig
+
+
+def find_drive_folders(base_path: str):
+    """Enumerate (sequence, drive, path) triples under <base>/train/<seq>/<NN>
+    (visualize.py:543-557)."""
+    import os
+
+    train_dir = os.path.join(base_path, "train")
+    if not os.path.isdir(train_dir):
+        return []
+    out = []
+    for seq in sorted(os.listdir(train_dir)):
+        seq_path = os.path.join(train_dir, seq)
+        if not os.path.isdir(seq_path):
+            continue
+        for sub in sorted(os.listdir(seq_path)):
+            drive = os.path.join(seq_path, sub)
+            if os.path.isdir(drive):
+                out.append((seq, sub, drive))
+    return out
+
+
+def load_images_from_drive(drive_path: str):
+    """RGB / IR frame lists for a drive, with the reference's fallback glob
+    families: *rgb*/*ir* → *color*/*thermal* → recursive (visualize.py:559-596)."""
+    import glob
+    import os
+
+    def pair(rgb_pat, ir_pat, recursive=False):
+        kw = {"recursive": True} if recursive else {}
+        return (sorted(glob.glob(os.path.join(drive_path, rgb_pat), **kw)),
+                sorted(glob.glob(os.path.join(drive_path, ir_pat), **kw)))
+
+    for args in (("*rgb*.png", "*ir*.png"),
+                 ("*color*.png", "*thermal*.png")):
+        rgb, ir = pair(*args)
+        if rgb or ir:
+            return rgb, ir
+    return pair("**/*rgb*.png", "**/*ir*.png", recursive=True)
+
+
+def visualize_dataset(dataset_path: str, num_samples: int = 5,
+                      output_dir: str = "freiburg_samples") -> int:
+    """Sample RGB | IR | overlay panels across drive folders, preferring
+    unseen sequences (visualize.py:620-694). Returns panels written."""
+    import os
+
+    import cv2
+
+    from thermal3d.viz.panels import colorize_ir, overlay_rgb_thermal
+
+    drives = find_drive_folders(dataset_path)
+    if not drives:
+        print(f"No drive folders found in {dataset_path}")
+        return 0
+    os.makedirs(output_dir, exist_ok=True)
+    seen, count = set(), 0
+    for seq, sub, drive in drives:
+        if count >= num_samples and seq in seen:
+            continue
+        seen.add(seq)
+        rgb_files, ir_files = load_images_from_drive(drive)
+        if not rgb_files or not ir_files:
+            continue
+        for i in range(min(3, len(rgb_files), len(ir_files))):
+            if count >= num_samples:
+                break
+            rgb = cv2.cvtColor(cv2.imread(rgb_files[i]), cv2.COLOR_BGR2RGB)
+            ir_raw = cv2.imread(ir_files[i], cv2.IMREAD_ANYDEPTH)
+            ir = colorize_ir(ir_raw)
+            overlay = overlay_rgb_thermal(
+                rgb.astype(np.float32) / 255.0, ir_raw.astype(np.float32))
+            fig, axes = plt.subplots(1, 3, figsize=(18, 6))
+            for ax, img, title in zip(
+                    axes, (rgb, ir, overlay),
+                    (f"RGB Image - {seq}/{sub}", f"Thermal Image - {seq}/{sub}",
+                     f"Overlay - {seq}/{sub}")):
+                ax.imshow(img)
+                ax.set_title(title)
+                ax.axis("off")
+            plt.tight_layout()
+            fig.savefig(os.path.join(output_dir, f"{seq}_{sub}_sample_{i}.png"))
+            plt.close(fig)
+            count += 1
+    return count
