@@ -359,3 +359,45 @@ def test_cli_explore_end_to_end(tmp_path, rng):
     assert report["extension_counts"][".png"] == 2
     assert len(report["thermal_dirs"]) == 1
     assert len(list(out.glob("*.png"))) == 1
+
+
+def test_cli_pseudo_gt_sharded(tmp_path, rng):
+    """--num_shards/--shard_id: two shard runs into ONE output dir produce
+    exactly the unsharded result (disjoint pair filenames, no collisions)."""
+    import glob
+
+    import cv2
+    import numpy as np
+
+    root = tmp_path / "ds"
+    for i in range(5):
+        stamp = f"100{i}_00{i}"
+        tdir = root / "train" / "seq_00_day" / "00" / "fl_ir_aligned"
+        rdir = root / "train" / "seq_00_day" / "00" / "fl_rgb"
+        tdir.mkdir(parents=True, exist_ok=True)
+        rdir.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(tdir / f"fl_ir_aligned_{stamp}.png"),
+                    rng.integers(21000, 26000, (32, 32)).astype(np.uint16))
+        cv2.imwrite(str(rdir / f"fl_rgb_{stamp}.png"),
+                    rng.integers(0, 255, (32, 32, 3)).astype(np.uint8))
+    from thermal3d.cli.pseudo_gt import main
+
+    base = ["--dataset_dir", str(root), "--img_size", "32", "32",
+            "--model_preset", "tiny", "--frame_skip", "1",
+            "--batch_size", "2", "--compute_dtype", "float32"]
+    out_full = tmp_path / "full"
+    n_full = main(base + ["--output_dir", str(out_full)])
+
+    out_sh = tmp_path / "sharded"
+    n0 = main(base + ["--output_dir", str(out_sh),
+                      "--num_shards", "2", "--shard_id", "0"])
+    n1 = main(base + ["--output_dir", str(out_sh),
+                      "--num_shards", "2", "--shard_id", "1"])
+    assert n0 + n1 == n_full
+    names = lambda d: sorted(  # noqa: E731
+        p.split("/")[-1] for p in glob.glob(str(d / "pointmap1" / "*.npy")))
+    assert names(out_sh) == names(out_full)
+    # out-of-range shard id dies at the parser
+    with pytest.raises(SystemExit):
+        main(base + ["--output_dir", "x", "--num_shards", "2",
+                     "--shard_id", "2"])

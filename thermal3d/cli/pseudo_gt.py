@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "default). By default the head follows "
                         "--compute_dtype (bf16 head: +18%% pairs/s at 512 — "
                         "docs/PERF.md; drift bound in docs/INT8_SWEEP.md)")
+    p.add_argument("--num_shards", type=int, default=1,
+                   help="split the pair/frame index into N deterministic "
+                        "shards for independent processes or hosts (each "
+                        "shard is a standalone run over index[i::N]; pair "
+                        "filenames are disjoint, so shards can share one "
+                        "--output_dir)")
+    p.add_argument("--shard_id", type=int, default=0,
+                   help="which shard this process generates (0..N-1)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
@@ -87,11 +95,26 @@ def main(argv=None):
     # build the input index up-front (also feeds --int8_static_acts
     # calibration, which needs the first pair batch before the generator
     # compiles)
+    if not (0 <= args.shard_id < args.num_shards):
+        build_parser().error(
+            f"--shard_id {args.shard_id} out of range for "
+            f"--num_shards {args.num_shards}")
     if args.test_set:
         frames = build_rgb_thermal_index(args.dataset_dir)
+        if args.num_shards > 1:
+            frames = frames[args.shard_id::args.num_shards]
+            print(f"Shard {args.shard_id}/{args.num_shards}: "
+                  f"{len(frames)} frames")
     else:
         pairs = build_rgb_pair_index(args.dataset_dir, frame_skip=args.frame_skip)
         print(f"Created {len(pairs)} RGB pairs")
+        if args.num_shards > 1:
+            # strided slice: deterministic, load-balanced across day/night
+            # sequences, and every output filename is pair-derived so shards
+            # writing into one output_dir never collide
+            pairs = pairs[args.shard_id::args.num_shards]
+            print(f"Shard {args.shard_id}/{args.num_shards}: "
+                  f"{len(pairs)} pairs")
 
     int8_kw = {}
     if args.int8:
