@@ -132,3 +132,62 @@ def test_resize_matmul_hwc_and_identity(rng):
     # no-op resize returns the input unchanged
     same = resize_bilinear_hw(jnp.asarray(x[..., 0]), (64, 48))
     np.testing.assert_array_equal(np.asarray(same), x[..., 0])
+
+
+def test_resize_matmul_align_corners_matches_torch(rng):
+    """align_corners=True (the DPT-head convention, models/heads.py) must
+    match torch F.interpolate(mode='bilinear', align_corners=True) — the
+    reference's DPT runs through torch Interpolate — at f32 rounding,
+    including the exact-×2 pyramid shapes and a non-integer ratio."""
+    import jax
+    import torch
+    import torch.nn.functional as F
+
+    from thermal3d.preprocess.resize import resize_bilinear_hwc
+
+    for (hi, wi), (ho, wo) in [((12, 16), (24, 32)),      # DPT ×2 fusion
+                               ((96, 128), (192, 256)),   # DPT ×2 head
+                               ((17, 23), (40, 31))]:     # general ratio
+        x = rng.uniform(-2, 2, (2, hi, wi, 5)).astype(np.float32)
+        ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                            size=(ho, wo), mode="bilinear",
+                            align_corners=True).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(resize_bilinear_hwc(
+            jnp.asarray(x), (ho, wo), align_corners=True,
+            precision=jax.lax.Precision.HIGHEST))
+        # torch computes the interpolation weights with its own f32
+        # rounding; ~1e-5 relative weight deviation is the agreement floor
+        np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_resize_align_corners_matches_gather_form(rng):
+    """The matmul align-corners resize must agree with the direct
+    gather/lerp formulation (the pre-round-4 models/heads.py
+    implementation, reproduced here) to f32 rounding — both build their
+    weights from the same linspace(0, n-1, out) positions."""
+    import jax
+
+    from thermal3d.preprocess.resize import resize_bilinear_hwc
+
+    def gather_resize(x, out_hw):
+        h, w = x.shape[1:3]
+        oh, ow = out_hw
+        ys = jnp.linspace(0.0, h - 1.0, oh)
+        xs = jnp.linspace(0.0, w - 1.0, ow)
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+        y1 = jnp.clip(y0 + 1, 0, h - 1)
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+        x1 = jnp.clip(x0 + 1, 0, w - 1)
+        wy = (ys - y0).astype(x.dtype)[None, :, None, None]
+        wx = (xs - x0).astype(x.dtype)[None, None, :, None]
+        top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+        bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+        return top * (1 - wy) + bot * wy
+
+    for (hi, wi), (ho, wo) in [((12, 16), (24, 32)), ((17, 23), (40, 31))]:
+        x = jnp.asarray(rng.uniform(-2, 2, (2, hi, wi, 5)).astype(np.float32))
+        ref = np.asarray(gather_resize(x, (ho, wo)))
+        got = np.asarray(resize_bilinear_hwc(
+            x, (ho, wo), align_corners=True,
+            precision=jax.lax.Precision.HIGHEST))
+        np.testing.assert_allclose(got, ref, atol=5e-6)

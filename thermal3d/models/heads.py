@@ -113,23 +113,21 @@ class _ResidualConvUnit(nn.Module):
 
 
 def _resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize with align_corners=True (torch Interpolate in DPT)."""
-    import jax.image
+    """Bilinear resize with align_corners=True (torch Interpolate in DPT),
+    as two small GEMMs (matmul-formulation resize, preprocess/resize.py) —
+    the gather formulation it replaced moved ~4-5× the output bytes through
+    HBM at the pyramid resolutions (up to 512×384×256); the interpolation
+    matrices ride the MXU instead. f32 inputs use HIGHEST precision (exact
+    to ~1e-7 vs the gather form); bf16 head compute uses DEFAULT, which
+    rounds operands to bf16 exactly like the gather form's bf16 arithmetic.
+    """
+    import jax
 
-    b, h, w, c = x.shape
-    oh, ow = out_hw
-    # align_corners=True: sample positions linspace(0, h-1, oh)
-    ys = jnp.linspace(0.0, h - 1.0, oh)
-    xs = jnp.linspace(0.0, w - 1.0, ow)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = (ys - y0).astype(x.dtype)[None, :, None, None]
-    wx = (xs - x0).astype(x.dtype)[None, None, :, None]
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
-    return top * (1 - wy) + bot * wy
+    from thermal3d.preprocess.resize import resize_bilinear_hwc
+
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    return resize_bilinear_hwc(x, out_hw, align_corners=True, precision=prec)
 
 
 class _FeatureFusionBlock(nn.Module):

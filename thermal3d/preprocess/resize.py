@@ -36,11 +36,25 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=None)
-def _axis_matrix(n_in: int, n_out: int, antialias: bool):
-    """[n_in, n_out] resampling matrix, extracted from jax.image.resize by
-    resizing an identity image along one axis (computed once on CPU)."""
+def _axis_matrix(n_in: int, n_out: int, antialias: bool,
+                 align_corners: bool = False):
+    """[n_in, n_out] resampling matrix. Half-pixel convention is extracted
+    from jax.image.resize by resizing an identity image along one axis;
+    align_corners=True (torch F.interpolate in the DPT head) is constructed
+    directly from its sample positions linspace(0, n_in-1, n_out) — both are
+    computed once on CPU and baked into the trace as constants."""
     if n_in == n_out:
         return None
+    if align_corners:
+        pos = np.linspace(0.0, n_in - 1.0, n_out)
+        lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+        hi = np.minimum(lo + 1, n_in - 1)
+        frac = (pos - lo).astype(np.float32)
+        m = np.zeros((n_in, n_out), np.float32)
+        cols = np.arange(n_out)
+        m[lo, cols] += 1.0 - frac
+        m[hi, cols] += frac
+        return m
     cpu = jax.local_devices(backend="cpu")[0]
     # ensure_compile_time_eval: callers sit inside jit traces (engine step,
     # bench chain, train step) — the extraction must run EAGERLY at trace
@@ -54,12 +68,13 @@ def _axis_matrix(n_in: int, n_out: int, antialias: bool):
 
 def resize_bilinear_hw(x: jnp.ndarray, out_hw: Tuple[int, int],
                        antialias: bool = False,
-                       precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
+                       precision=jax.lax.Precision.HIGH,
+                       align_corners: bool = False) -> jnp.ndarray:
     """Resize the TRAILING two axes: [..., H, W] → [..., H', W']."""
     h, w = x.shape[-2:]
     oh, ow = out_hw
-    mh = _axis_matrix(h, oh, antialias)
-    mw = _axis_matrix(w, ow, antialias)
+    mh = _axis_matrix(h, oh, antialias, align_corners)
+    mw = _axis_matrix(w, ow, antialias, align_corners)
     dt = x.dtype
     y = x.astype(jnp.float32)
     if mh is not None:
@@ -73,12 +88,13 @@ def resize_bilinear_hw(x: jnp.ndarray, out_hw: Tuple[int, int],
 
 def resize_bilinear_hwc(x: jnp.ndarray, out_hw: Tuple[int, int],
                         antialias: bool = False,
-                        precision=jax.lax.Precision.HIGH) -> jnp.ndarray:
+                        precision=jax.lax.Precision.HIGH,
+                        align_corners: bool = False) -> jnp.ndarray:
     """Resize the two axes BEFORE a trailing channel: [..., H, W, C]."""
     h, w = x.shape[-3:-1]
     oh, ow = out_hw
-    mh = _axis_matrix(h, oh, antialias)
-    mw = _axis_matrix(w, ow, antialias)
+    mh = _axis_matrix(h, oh, antialias, align_corners)
+    mw = _axis_matrix(w, ow, antialias, align_corners)
     dt = x.dtype
     y = x.astype(jnp.float32)
     if mh is not None:
