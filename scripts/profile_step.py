@@ -79,6 +79,31 @@ def build_train_step(batch):
     return step, state, batch_data
 
 
+def build_pseudo_gt_step(batch, attn="auto"):
+    """bench.py --pseudo-gt equivalent: frozen MASt3R-512 two-view forward
+    + on-device intrinsics/Umeyama, one jitted step (scan_layers — the
+    unrolled 512 program exceeds the compile relay's request size)."""
+    from thermal3d.core.config import MASTR_512_CATMLPDPT
+    from thermal3d.pseudo_gt.generator import PseudoGTGenerator
+
+    config = dataclasses.replace(MASTR_512_CATMLPDPT,
+                                 compute_dtype="bfloat16",
+                                 attention_impl=attn, scan_layers=True)
+    h, w = config.img_size
+    gen = PseudoGTGenerator(config, batch_size=batch,
+                            params_dtype="bfloat16")
+    ks = jax.random.split(jax.random.key(1), 2)
+    rgb1 = jax.random.uniform(ks[0], (batch, h, w, 3))
+    rgb2 = jax.random.uniform(ks[1], (batch, h, w, 3))
+
+    @jax.jit
+    def step(params, _unused, __unused):
+        out = gen._step_impl(params, gen.quant, rgb1, rgb2)
+        return out["depth1"].mean() + out["poses"].sum()
+
+    return step, gen.params
+
+
 def parse_trace(logdir, iters):
     paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                       recursive=True)
@@ -117,8 +142,17 @@ def main():
     iters = int(pos[1]) if len(pos) > 1 else 5
     attn = pos[2] if len(pos) > 2 else "auto"
     train = "--train" in sys.argv
-    print("backend:", jax.default_backend(), "attn:", attn, "train:", train)
-    if train:
+    pgt = "--pseudo-gt" in sys.argv
+    print("backend:", jax.default_backend(), "attn:", attn, "train:", train,
+          "pseudo_gt:", pgt)
+    if pgt:
+        pstep, pparams = build_pseudo_gt_step(batch, attn)
+
+        def step(*_):
+            return pstep(pparams, None, None)
+
+        params = head_params = raw = None
+    elif train:
         tstep, state, batch_data = build_train_step(batch)
 
         def step(*_):
