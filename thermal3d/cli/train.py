@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh shape over available devices")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_wandb", action="store_true")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard the AdamW mu/nu buffers over the "
+                        "data axis (per-chip optimizer HBM / DP size; "
+                        "numerics unchanged — core/mesh.py)")
     p.add_argument("--mu_bf16", action="store_true",
                    help="store the AdamW first moment in bfloat16 (halves "
                         "its HBM bytes; second moment stays f32 — "
@@ -108,6 +112,7 @@ def main(argv=None):
                         multi_scale=args.multi_scale),
         mesh_shape=tuple(args.mesh_shape),
         mu_dtype="bfloat16" if args.mu_bf16 else None,
+        zero1=args.zero1,
     )
 
     dataset = FreiburgPairDataset(

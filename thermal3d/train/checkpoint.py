@@ -14,6 +14,12 @@ TrainState. Two policies live side by side:
 
 Early-stop bookkeeping (best_val, patience) rides in the meta JSON so a
 resumed run stops at the same epoch the uninterrupted run would.
+
+Saves are ASYNC (round 4): orbax snapshots device→host inside save() and
+writes to disk in the background, so serializing the multi-GB ViT-L state
+overlaps the next training epoch instead of stalling the chips. Reads
+(latest_step/best_step/restore) and close() wait for in-flight saves first,
+so read-your-writes semantics are preserved.
 """
 
 from __future__ import annotations
@@ -62,6 +68,13 @@ class CheckpointManager:
 
     @staticmethod
     def _save(mgr, step: int, state, val_loss: float, extra: Optional[dict]):
+        """Async save: orbax copies device→host synchronously inside save()
+        (so the donated TrainState buffers are safe to reuse on the next
+        step), then writes to disk in the background — the multi-GB ViT-L
+        state serialization overlaps the next epoch instead of stalling the
+        chips. Durability points: orbax itself waits for the previous
+        in-flight save of the same manager before starting a new one, commits
+        step dirs atomically, and close() blocks until everything is on disk."""
         meta = {"val_loss": float(val_loss), **(extra or {})}
         mgr.save(
             step,
@@ -71,7 +84,11 @@ class CheckpointManager:
             ),
             metrics={"val_loss": float(val_loss)},
         )
-        mgr.wait_until_finished()
+
+    def wait_until_finished(self):
+        """Block until all in-flight async saves are committed to disk."""
+        self._best.wait_until_finished()
+        self._last.wait_until_finished()
 
     def save(self, step: int, state, val_loss: float, extra: Optional[dict] = None):
         """Record a new BEST checkpoint (call on val improvement)."""
@@ -85,6 +102,7 @@ class CheckpointManager:
         self._save(self._last, step, state, val_loss, extra)
 
     def latest_step(self) -> Optional[int]:
+        self.wait_until_finished()  # read-your-writes under async saves
         for mgr in self._managers():
             step = mgr.latest_step()
             if step is not None:
@@ -92,6 +110,7 @@ class CheckpointManager:
         return None
 
     def best_step(self) -> Optional[int]:
+        self._best.wait_until_finished()
         return self._best.best_step()
 
     def restore(self, state_template, step: Optional[int] = None):
@@ -99,6 +118,7 @@ class CheckpointManager:
         else best, else a legacy flat-layout checkpoint. With an explicit
         `step`, the manager that actually CONTAINS that step is used (best/
         and last/ hold disjoint step sets on plateaus)."""
+        self.wait_until_finished()  # read-your-writes under async saves
         mgr = None
         if step is not None:
             for cand in self._managers():
@@ -126,6 +146,7 @@ class CheckpointManager:
         return restored["state"], restored["meta"]
 
     def close(self):
+        self.wait_until_finished()
         self._best.close()
         self._last.close()
         if self._legacy is not None:

@@ -80,7 +80,17 @@ def train_and_evaluate(
         best_val = float(meta.get("best_val", meta.get("val_loss", float("inf"))))
         patience_counter = int(meta.get("patience", 0))
 
-    train_step = make_train_step(model, cfg, mesh)
+    state_shardings = None
+    if cfg.zero1 and mesh.shape.get("data", 1) > 1:
+        # ZeRO-1: jit's in/out shardings carry the sharded optimizer slots;
+        # the donated state is resharded on the first step (params stay
+        # replicated, so eval_step and checkpointing are unaffected — orbax
+        # saves/restores the logical arrays regardless of sharding)
+        from thermal3d.core.mesh import state_sharding
+
+        state_shardings = state_sharding(mesh, state, zero1=True)
+    train_step = make_train_step(model, cfg, mesh,
+                                 state_shardings=state_shardings)
     eval_step = make_eval_step(model, cfg, mesh)
 
     global_step = int(state.step)
