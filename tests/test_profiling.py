@@ -36,3 +36,24 @@ def test_nan_guard_raises():
     with pytest.raises(FloatingPointError):
         with nan_guard():
             _ = jnp.asarray(0.0) / jnp.asarray(0.0)
+
+
+def test_compile_cache_keyed_by_machine_tag(tmp_path, monkeypatch):
+    """The XLA compile cache dir must be keyed per host ISA: XLA:CPU AOT
+    artifacts embed the compile host's CPU features and can SIGILL on a
+    weaker machine (VERDICT r4 — a repo-local .jax_cache shared across
+    heterogeneous hosts spewed cpu_aot_loader SIGILL warnings)."""
+    import platform
+
+    from thermal3d.core.cache import _machine_tag, enable_compilation_cache
+
+    tag = _machine_tag()
+    assert tag == _machine_tag()  # deterministic
+    assert tag.startswith(platform.machine() + "-")
+    monkeypatch.setenv("THERMAL3D_COMPILE_CACHE", str(tmp_path / "c"))
+    path = enable_compilation_cache()
+    assert os.path.basename(path) == tag
+    assert os.path.isdir(path)
+    # restore the suite's cache dir (conftest enabled it at session start)
+    monkeypatch.delenv("THERMAL3D_COMPILE_CACHE")
+    enable_compilation_cache()

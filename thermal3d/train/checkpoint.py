@@ -74,7 +74,15 @@ class CheckpointManager:
         state serialization overlaps the next epoch instead of stalling the
         chips. Durability points: orbax itself waits for the previous
         in-flight save of the same manager before starting a new one, commits
-        step dirs atomically, and close() blocks until everything is on disk."""
+        step dirs atomically, and close() blocks until everything is on disk.
+
+        Error surfacing: a failed background disk write raises at the next
+        wait_until_finished, not at the save() that started it — so wait for
+        the PREVIOUS in-flight save here first. Overlap is preserved (that
+        save had the whole intervening epoch to finish); a disk failure
+        surfaces at most one epoch late instead of only at end-of-run close().
+        """
+        mgr.wait_until_finished()
         meta = {"val_loss": float(val_loss), **(extra or {})}
         mgr.save(
             step,

@@ -83,12 +83,19 @@ def train_and_evaluate(
     state_shardings = None
     if cfg.zero1 and mesh.shape.get("data", 1) > 1:
         # ZeRO-1: jit's in/out shardings carry the sharded optimizer slots;
-        # the donated state is resharded on the first step (params stay
-        # replicated, so eval_step and checkpointing are unaffected — orbax
-        # saves/restores the logical arrays regardless of sharding)
+        # params stay replicated, so eval_step and checkpointing are
+        # unaffected — orbax saves/restores the logical arrays regardless of
+        # sharding.
         from thermal3d.core.mesh import state_sharding
 
         state_shardings = state_sharding(mesh, state, zero1=True)
+        # Re-place the state onto the mesh explicitly: ckpt.restore returns
+        # COMMITTED SingleDeviceSharding arrays, and jit refuses committed
+        # inputs whose sharding mismatches in_shardings ("Sharding passed to
+        # jit does not match the sharding on the respective arg"), so a
+        # resumed --zero1 run would crash on its first step (ADVICE r4).
+        # Uncommitted fresh-init states are resharded for free either way.
+        state = jax.tree_util.tree_map(jax.device_put, state, state_shardings)
     train_step = make_train_step(model, cfg, mesh,
                                  state_shardings=state_shardings)
     eval_step = make_eval_step(model, cfg, mesh)
