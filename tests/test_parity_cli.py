@@ -129,3 +129,48 @@ def test_golden_mode_reference_metrics_gate_fails(golden_set, tmp_path):
         main(["--golden_dir", str(golden_set), "--model_preset", "tiny",
               "--img_size", "64", "64", "--compute_dtype", "float32",
               "--batch_size", "2", "--reference_metrics", str(ref)])
+
+
+def test_full_gate_end_to_end(golden_set, tmp_path):
+    """--full-gate (VERDICT r4 #8): strict convert → oracle activation diff →
+    golden metrics → int8 drift, one command, one PASS/FAIL JSON. Exercised
+    with a tiny oracle-layout checkpoint standing in for the released .pth."""
+    import importlib.util
+
+    import torch
+
+    from thermal3d.cli.common import apply_preset
+    from thermal3d.core.config import DUSTR_224_LINEAR
+
+    cfg = apply_preset(DUSTR_224_LINEAR, "tiny", (64, 64), "float32")
+    spec = importlib.util.spec_from_file_location(
+        "_oracle", os.path.join(os.path.dirname(__file__), "torch_oracle.py"))
+    oracle_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(oracle_mod)
+    torch.manual_seed(0)
+    oracle = oracle_mod.TorchDustr(cfg).eval()
+    ckpt = tmp_path / "tiny_real.pth"
+    torch.save({"model": dict(oracle.state_dict())}, str(ckpt))
+
+    rpt = tmp_path / "fg.json"
+    report = main(["--full-gate", "--model", str(ckpt),
+                   "--golden_dir", str(golden_set), "--model_preset", "tiny",
+                   "--img_size", "64", "64", "--compute_dtype", "float32",
+                   "--batch_size", "2", "--gate", "10.0",
+                   "--report", str(rpt)])
+    assert report["full_gate_convert"]["ok"]
+    assert report["full_gate_oracle"]["ok"]
+    assert report["full_gate_oracle"]["worst_rel"] <= 2e-4
+    assert np.isfinite(report["golden_bf16"]["abs_rel"])
+    assert "int8_abs_rel_drift" in report  # --full-gate implies --int8
+
+    # gate wiring: an impossible tolerance must FAIL the whole command
+    with pytest.raises(SystemExit):
+        main(["--full-gate", "--model", str(ckpt),
+              "--golden_dir", str(golden_set), "--model_preset", "tiny",
+              "--img_size", "64", "64", "--compute_dtype", "float32",
+              "--batch_size", "2", "--gate", "10.0", "--oracle_tol", "0.0"])
+
+    # half-specified full gate is an argparse error, not a silent skip
+    with pytest.raises(SystemExit):
+        main(["--full-gate", "--model", str(ckpt)])

@@ -28,6 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_thermal_model", action="store_true")
     p.add_argument("--no_vis", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--ndev", type=int, default=1,
+                   help="data-parallel evaluation over N devices (params "
+                        "replicated, batches sharded over a 1-D mesh; "
+                        "batch_size must be a multiple of N) — the reference "
+                        "eval loop is single-GPU "
+                        "(utils/evaluate_depth_metrics.py:247-401)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
@@ -50,9 +56,23 @@ def main(argv=None):
         from thermal3d.cli.infer import _load_params
 
         params, head_params = _load_params(args.model, config)
+    mesh = None
+    if args.ndev > 1:
+        if args.batch_size % args.ndev:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be a multiple of "
+                f"--ndev {args.ndev}")
+        import jax
+
+        from thermal3d.core.mesh import make_mesh
+
+        devs = jax.devices()
+        if len(devs) < args.ndev:
+            raise SystemExit(f"--ndev={args.ndev} but only {len(devs)} devices")
+        mesh = make_mesh((args.ndev,), ("data",), devices=devs[: args.ndev])
     engine = InferenceEngine(config, params=params,
                              use_thermal_head=not args.no_thermal_model,
-                             thermal_head_params=head_params)
+                             thermal_head_params=head_params, mesh=mesh)
 
     thermal_paths = sorted(glob.glob(os.path.join(args.thermal_dir, "*.png")))
     if args.num_samples:

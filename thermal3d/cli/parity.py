@@ -18,6 +18,16 @@ Modes (combinable):
   * --int8 (with --model/--golden_dir): additionally build the int8 engine
     (optionally scoped, docs/INT8_SWEEP.md) and gate ITS AbsRel drift vs the
     bf16 engine on the same frames — the automatic int8 accuracy gate.
+  * --full-gate (with --model, --golden_dir): the whole pre-staged
+    real-weight pipeline as ONE command (VERDICT r4 #8) — strict checkpoint
+    conversion → full-depth per-layer activation diff vs the independent
+    torch oracle (tests/torch_oracle.py, run from a repo checkout) → golden
+    depth metrics → int8 drift gate — and emits a single PASS/FAIL JSON
+    line. The moment a released .pth exists
+    (DUSt3R_ViTLarge_BaseDecoder_224_linear.pth, run_train_thermal_dustr.sh:9;
+    MASt3R..._512_catmlpdpt_metric.pth, scripts/pseudo_gt.py:17), parity is:
+      python -m thermal3d.cli.parity --full-gate --model ckpt.pth \
+             --golden_dir pseudo_gt_test_set/day
 """
 
 from __future__ import annotations
@@ -54,9 +64,99 @@ def build_parser() -> argparse.ArgumentParser:
                    help="defaults to the model variant's native resolution")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--report", type=str, default=None, help="write full JSON report here")
+    p.add_argument("--full-gate", dest="full_gate", action="store_true",
+                   help="run the complete real-weight gate: strict convert → "
+                        "oracle activation diff → golden metrics → int8 "
+                        "drift; emits one PASS/FAIL JSON line")
+    p.add_argument("--oracle_tol", type=float, default=2e-4,
+                   help="full-gate per-layer activation tolerance, relative "
+                        "to each layer's activation scale (f32 parity bar, "
+                        "tests/test_parity_fullscale.py)")
     from thermal3d.cli.common import add_preset_flag
 
     return add_preset_flag(p)
+
+
+def _full_gate_convert(args, config):
+    """Stage 1: strict checkpoint conversion + validation. Returns
+    (stage_report, raw_state_dict or None)."""
+    from thermal3d.convert.torch_to_flax import (convert_checkpoint,
+                                                 load_torch_checkpoint)
+
+    try:
+        state = load_torch_checkpoint(args.model)
+        _, rep = convert_checkpoint(args.model, config, strict=True)
+        return ({"ok": True, "converted": len(rep["converted"]),
+                 "skipped": len(rep["skipped"])}, state)
+    except Exception as e:  # strict conversion fails loudly with the diff
+        return ({"ok": False, "error": str(e)[:2000]}, None)
+
+
+def _full_gate_oracle(args, config, state):
+    """Stage 2: full-depth per-layer activation diff — load the REAL weights
+    into both the torch oracle and (via the converter) the flax model, and
+    gate every layer's |Δ| at oracle_tol × its activation scale. This is the
+    check that turns 'oracle-consistent' into 'reference-consistent': RoPE
+    convention, qkv packing, and head wiring all fail it loudly if wrong."""
+    import dataclasses
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    oracle_py = os.path.join(repo, "tests", "torch_oracle.py")
+    if not os.path.exists(oracle_py):
+        return {"ok": False, "error": "tests/torch_oracle.py not found — the "
+                "oracle stage needs a repo checkout (not an installed wheel)"}
+    spec = importlib.util.spec_from_file_location("_t3d_torch_oracle", oracle_py)
+    oracle_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(oracle_mod)
+
+    from thermal3d.convert.torch_to_flax import convert_state_dict
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+    cfg = dataclasses.replace(config, compute_dtype="float32")  # f32 diff
+    # wrapper (ThermalDUSt3R) checkpoints prefix the base model with 'model.'
+    # (thermal_dustr_model.py:180-185); the oracle is the bare model
+    base_sd = {k[len("model."):]: v for k, v in state.items()
+               if k.startswith("model.")} or state
+    oracle = oracle_mod.TorchDustr(cfg).eval()
+    load = oracle.load_state_dict(
+        {k: v for k, v in base_sd.items() if k in oracle.state_dict()},
+        strict=False)
+    if load.missing_keys:
+        return {"ok": False, "error": "checkpoint lacks tensors the oracle "
+                f"needs: {load.missing_keys[:8]}"}
+
+    tree, _ = convert_state_dict(base_sd, cfg)
+    tree = tree.get("model", tree)
+    rng = np.random.default_rng(0)
+    h, w = cfg.img_size
+    img1 = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+    t_acts, ((tp1, tc1), (tp2, tc2)) = oracle_mod.capture_torch_activations(
+        oracle, img1, img2)
+    model = AsymmetricCroCo3DStereo(cfg)
+    f_acts, (pred1, pred2) = oracle_mod.capture_flax_activations(
+        model, tree, img1, img2)
+    drift = oracle_mod.per_layer_drift(t_acts, f_acts)
+    drift["pts3d_1"] = (
+        float(np.abs(np.asarray(pred1["pts3d"]) - tp1.numpy()).max()),
+        float(np.abs(tp1.numpy()).max()))
+    drift["conf_1"] = (
+        float(np.abs(np.asarray(pred1["conf"]) - tc1.numpy()).max()),
+        float(np.abs(tc1.numpy()).max()))
+    worst_name, worst_rel = None, 0.0
+    for name, (delta, scale) in drift.items():
+        rel = delta / max(1.0, scale)
+        if rel > worst_rel:
+            worst_name, worst_rel = name, rel
+    ok = worst_rel <= args.oracle_tol
+    return {"ok": bool(ok), "layers": len(drift),
+            "worst_layer": worst_name, "worst_rel": worst_rel,
+            "tol": args.oracle_tol}
 
 
 def _make_engine(args, config, params, head_params, int8: bool):
@@ -85,6 +185,10 @@ def main(argv=None):
         build_parser().error(
             "--int8/--reference_metrics/--model require --golden_dir "
             "(they gate the golden-engine mode)")
+    if args.full_gate:
+        if not (args.model and args.golden_dir):
+            build_parser().error("--full-gate requires --model and --golden_dir")
+        args.int8 = True  # the int8 drift gate is part of the full gate
     report, failures = {}, []
 
     if args.ours_dir and args.theirs_dir:
@@ -112,6 +216,28 @@ def main(argv=None):
             args.img_size = list(base.img_size)
         config = apply_preset(base, args.model_preset,
                               args.img_size, args.compute_dtype)
+        if args.full_gate:
+            conv_rep, raw_state = _full_gate_convert(args, config)
+            report["full_gate_convert"] = conv_rep
+            print(f"full-gate convert(strict): "
+                  f"{'PASS' if conv_rep['ok'] else 'FAIL'} "
+                  f"({conv_rep.get('converted', 0)} tensors converted)")
+            if not conv_rep["ok"]:
+                failures.append("strict conversion")
+                print(conv_rep["error"])
+            else:
+                oracle_rep = _full_gate_oracle(args, config, raw_state)
+                report["full_gate_oracle"] = oracle_rep
+                if oracle_rep["ok"]:
+                    print(f"full-gate oracle diff: PASS "
+                          f"({oracle_rep['layers']} layers, worst "
+                          f"{oracle_rep['worst_layer']} rel "
+                          f"{oracle_rep['worst_rel']:.2e} <= "
+                          f"{oracle_rep['tol']:.0e})")
+                else:
+                    failures.append("oracle activation diff")
+                    print(f"full-gate oracle diff: FAIL — "
+                          f"{oracle_rep.get('error') or oracle_rep}")
         params = head_params = None  # no --model: random init (harness tests)
         if args.model:
             from thermal3d.cli.infer import _load_params
@@ -162,6 +288,15 @@ def main(argv=None):
     if args.report:
         with open(args.report, "w") as f:
             json.dump(report, f, indent=2, default=float)
+    if args.full_gate:
+        # one machine-readable PASS/FAIL line for CI (VERDICT r4 #8)
+        stages = {k.replace("full_gate_", ""): v.get("ok", False)
+                  for k, v in report.items() if k.startswith("full_gate_")}
+        stages["golden_metrics"] = "golden frames unresolvable" not in failures
+        stages["int8_drift"] = "int8 drift gate" not in failures
+        print(json.dumps({"full_gate": "FAIL" if failures else "PASS",
+                          "stages": stages,
+                          **({"failures": failures} if failures else {})}))
     if failures:
         print(f"PARITY GATE FAILED: {', '.join(failures)}")
         raise SystemExit(1)
