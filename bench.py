@@ -488,29 +488,38 @@ def main():
     # The int8 serving frontier, recorded in the SAME driver artifact as the
     # bf16 headline (VERDICT r4 #2): fc1-scope + static act scales (the
     # ~1%-drift configuration PARITY.md recommends) and the full-trunk int8
-    # ceiling, each tagged with its machine-measured depth drift vs the bf16
-    # engine on the same input (rel RMS, the docs/INT8_SWEEP.md protocol) and
-    # gated against BASELINE.json's 1% criterion. Skipped when a specific
+    # ceiling, each tagged with TWO machine-measured drift numbers vs the
+    # bf16 engine on the same input — median-scaled AbsRel (the
+    # evaluation/parity.py golden-fixture protocol; BASELINE.json's 1%
+    # criterion gates THIS one) and raw depth rel RMS (the stricter
+    # docs/INT8_SWEEP.md number, no median rescue). Skipped when a specific
     # config was requested explicitly (--int8/--branch/--ndev measure that
     # one config) or via --no-secondary.
     secondary = []
     if (not use_int8 and not branch and ndev == 1
             and "--no-secondary" not in sys.argv):
+        from thermal3d.evaluation.metrics import compute_depth_metrics
         from thermal3d.kernels.quant import SCOPE_TO_ONLY
 
         secondary.append({"config": "bf16", "fps": round(fps, 2),
-                          "depth_drift_rel_rms": 0.0, "drift_ok": True})
+                          "abs_rel_drift": 0.0, "depth_drift_rel_rms": 0.0,
+                          "drift_ok": True})
         ref_norm = float(np.linalg.norm(depth_headline))
         for scope_name in ("fc1", "all"):
             vm, vp, vq = build_variant(SCOPE_TO_ONLY[scope_name], True)
             vfps, vdepth = serving_fps(batch, vm, vp, vq)
-            drift = float(np.linalg.norm(vdepth - depth_headline) / ref_norm)
+            rel_rms = float(np.linalg.norm(vdepth - depth_headline) / ref_norm)
+            # the parity protocol: int8 depths scored against the bf16
+            # depths as reference (positive-depth mask, median scaling)
+            abs_rel = float(compute_depth_metrics(
+                vdepth, depth_headline, median_scaling=True)["abs_rel"])
             secondary.append({
                 "config": f"int8_{scope_name}_static_acts",
                 "fps": round(vfps, 2),
                 "vs_baseline": round(vfps / 500.0, 3),
-                "depth_drift_rel_rms": round(drift, 5),
-                "drift_ok": bool(drift <= 0.01),
+                "abs_rel_drift": round(abs_rel, 5),
+                "depth_drift_rel_rms": round(rel_rms, 5),
+                "drift_ok": bool(abs_rel <= 0.01),
             })
 
     print(json.dumps({

@@ -33,6 +33,20 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: full-scale runs gated behind RUN_SLOW=1")
+    config.addinivalue_line(
+        "markers", "heavy: compile-bound integration tests gated behind "
+        "RUN_HEAVY=1 — every gated path keeps a cheaper default-suite "
+        "sibling; run the full tier in CI/nightly (README 'Tests')")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_HEAVY"):
+        return
+    skip = pytest.mark.skip(
+        reason="heavy compile-bound integration test; set RUN_HEAVY=1")
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

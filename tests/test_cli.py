@@ -114,6 +114,7 @@ def test_cli_infer_end_to_end_tiny(tmp_path, rng):
     assert d.shape == (32, 32) and np.isfinite(d).all()
 
 
+@pytest.mark.heavy
 def test_cli_ais_investigate_end_to_end_tiny(tmp_path, rng):
     """Staged OOD investigation driver: all three notebook stages over the
     same frames, AIS_DATA-layout stage dirs + quantitative report."""
@@ -295,6 +296,7 @@ def test_infer_from_orbax_checkpoint(tmp_path, rng, tiny_config):
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]))
 
 
+@pytest.mark.heavy
 def test_cli_infer_rectangular_img_size(tmp_path, rng):
     """--img_size H W with H != W (landscape_only=False semantics,
     thermal_dustr_model.py:44) runs the full CLI path and saves H×W depth."""
@@ -319,6 +321,7 @@ def test_cli_infer_rectangular_img_size(tmp_path, rng):
     assert d.shape == (32, 48) and np.isfinite(d).all()
 
 
+@pytest.mark.heavy
 def test_infer_model_variant_dpt(tmp_path, rng):
     """--model_variant dustr512_dpt serves the DPT family member end-to-end."""
     import cv2
@@ -361,6 +364,7 @@ def test_cli_explore_end_to_end(tmp_path, rng):
     assert len(list(out.glob("*.png"))) == 1
 
 
+@pytest.mark.heavy
 def test_cli_pseudo_gt_sharded(tmp_path, rng):
     """--num_shards/--shard_id: two shard runs into ONE output dir produce
     exactly the unsharded result (disjoint pair filenames, no collisions)."""

@@ -47,6 +47,7 @@ def _parse_loss(out: str) -> float:
     raise AssertionError(f"no MULTIHOST_LOSS line in output:\n{out}")
 
 
+@pytest.mark.heavy
 def test_two_process_dp_matches_single_process():
     coordinator = f"127.0.0.1:{_free_port()}"
     procs = [_launch(coordinator, pid, 2) for pid in range(2)]

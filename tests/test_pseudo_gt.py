@@ -71,6 +71,7 @@ def test_generator_int8_mode(rng):
                                    err_msg=k)
 
 
+@pytest.mark.heavy
 def test_generator_split_programs_matches_single(rng):
     """split_programs (two compiled programs: encoder / rest) is numerically
     the single-program step."""

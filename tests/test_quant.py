@@ -91,6 +91,7 @@ def test_quantize_only_restricts_to_named_modules(rng, tiny_config):
     assert n == cfg.enc_depth + cfg.dec_depth * 2  # one fc1 per block
 
 
+@pytest.mark.heavy
 def test_engine_int8_grouped_drift_smaller_than_flat(rng, tiny_config):
     """End-to-end: group_size=mlp-width/2 segments reduce depth drift vs
     whole-column scales on the same params."""
@@ -168,6 +169,7 @@ def test_engine_int8_depth_drift_bounded(rng, tiny_config, compute_dtype):
     assert rel_rms < 0.04, rel_rms
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("group_size", [None, 16])
 def test_quantize_scan_layout_matches_unrolled(rng, tiny_config, group_size):
     """Scan-layout params quantize per layer with STACKED scales (so

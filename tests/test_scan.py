@@ -25,6 +25,7 @@ def _models(head_type="linear"):
     return AsymmetricCroCo3DStereo(base), AsymmetricCroCo3DStereo(scan), base
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("head_type", ["linear", "catmlpdpt"])
 def test_scan_forward_matches_unrolled(head_type, rng):
     from thermal3d.models.scan_params import from_scan_params, to_scan_params
@@ -66,6 +67,7 @@ def test_scan_init_shapes_match_stacked_layout(rng):
     assert shapes(native) == shapes(converted)
 
 
+@pytest.mark.heavy
 def test_scan_with_remat_gradients(rng):
     """remat composes with scan (the 512-training memory configuration):
     gradients still match the plain unrolled model."""

@@ -104,6 +104,7 @@ def test_basic_loss_mode(tiny_config, rng, cpu_devices):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.heavy
 def test_flatten_optimizer_matches_per_leaf(tiny_config, rng, cpu_devices):
     """flatten_optimizer=True (one flat-vector AdamW) must track the
     per-leaf update: identical math up to f32 reduction order in the
@@ -127,6 +128,7 @@ def test_flatten_optimizer_matches_per_leaf(tiny_config, rng, cpu_devices):
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_mu_bf16_optimizer_tracks_f32(tiny_config, rng, cpu_devices):
     """mu_dtype='bfloat16' (AdamW first moment stored bf16) must track the
     f32-moment run closely over a few steps, and actually store m in bf16."""
@@ -225,6 +227,7 @@ def test_remat_training(tiny_config, rng):
     np.testing.assert_allclose(float(m_r["grad_norm"]), float(m_n["grad_norm"]), rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_checkpoint_resume(tiny_config, rng, tmp_path, cpu_devices):
     """True mid-run resume: second invocation continues from the saved epoch
     with full optimizer state (the reference saves but never reloads it —
@@ -306,6 +309,7 @@ def test_zero1_resume(tiny_config, rng, tmp_path, cpu_devices):
     assert s2["final_step"] > s1["final_step"]
 
 
+@pytest.mark.heavy
 def test_resume_after_non_best_epoch(tiny_config, rng, tmp_path, cpu_devices):
     """Exact resume: a rolling LAST checkpoint is written every epoch, so
     resume continues from the true last epoch even when it didn't improve
