@@ -405,3 +405,31 @@ def test_cli_pseudo_gt_sharded(tmp_path, rng):
     with pytest.raises(SystemExit):
         main(base + ["--output_dir", "x", "--num_shards", "2",
                      "--shard_id", "2"])
+
+
+@pytest.mark.heavy
+def test_bench_tiny_secondary_metrics(capsys):
+    """bench.py --tiny (CPU): the headline JSON line carries secondary_metrics
+    with the bf16 reference and both int8 configs, each with machine-checked
+    drift numbers and a 1%-AbsRel gate verdict (VERDICT r4 #2 plumbing)."""
+    import json as _json
+    import sys as _sys
+
+    import bench as bench_mod
+
+    argv = _sys.argv
+    _sys.argv = ["bench.py", "4", "2", "--tiny"]
+    try:
+        bench_mod.main()
+    finally:
+        _sys.argv = argv
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    out = _json.loads(line)
+    assert out["metric"] == "thermal_frames_per_sec_per_chip_dustr224"
+    secs = {s["config"]: s for s in out["secondary_metrics"]}
+    assert set(secs) == {"bf16", "int8_fc1_static_acts",
+                         "int8_all_static_acts"}
+    for s in secs.values():
+        assert "abs_rel_drift" in s and "drift_ok" in s
+    assert secs["bf16"]["drift_ok"] is True

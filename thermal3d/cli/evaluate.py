@@ -56,6 +56,9 @@ def main(argv=None):
         from thermal3d.cli.infer import _load_params
 
         params, head_params = _load_params(args.model, config)
+    from thermal3d.cli.common import apply_scan
+
+    config, params = apply_scan(config, params, args.scan_layers)
     mesh = None
     if args.ndev > 1:
         if args.batch_size % args.ndev:
