@@ -555,7 +555,9 @@ def main():
             try:
                 r = fn()
                 secondary.append({"config": label, **r})
-            except Exception as e:  # noqa: BLE001 — headline must survive
+            except (Exception, SystemExit) as e:  # noqa: BLE001 — the
+                # headline must survive; bench_pseudo_gt's chained mode
+                # raises SystemExit on a contention-corrupted measurement
                 print(f"secondary {label} failed: {e}", file=sys.stderr)
 
     print(json.dumps({

@@ -174,3 +174,62 @@ def test_full_gate_end_to_end(golden_set, tmp_path):
     # half-specified full gate is an argparse error, not a silent skip
     with pytest.raises(SystemExit):
         main(["--full-gate", "--model", str(ckpt)])
+
+
+def test_full_gate_catmlpdpt_variant(golden_set, tmp_path):
+    """--full-gate with --model_variant mastr512_catmlpdpt: the oracle stage
+    covers the MASt3R head family numerically (round 5 — the torch oracle
+    grew DPT/catmlpdpt heads), incl. desc/desc_conf in the output diff."""
+    import dataclasses
+    import importlib.util
+
+    import torch
+
+    from thermal3d.cli.common import apply_preset
+    from thermal3d.core.config import MASTR_512_CATMLPDPT
+
+    cfg = apply_preset(MASTR_512_CATMLPDPT, "tiny", (64, 64), "float32")
+    cfg = dataclasses.replace(cfg, compute_dtype="float32")
+    spec = importlib.util.spec_from_file_location(
+        "_oracle2", os.path.join(os.path.dirname(__file__), "torch_oracle.py"))
+    oracle_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(oracle_mod)
+    torch.manual_seed(1)
+    oracle = oracle_mod.TorchDustr(cfg).eval()
+    ckpt = tmp_path / "tiny_mastr.pth"
+    torch.save({"model": dict(oracle.state_dict())}, str(ckpt))
+
+    report = main(["--full-gate", "--model", str(ckpt),
+                   "--model_variant", "mastr512_catmlpdpt",
+                   "--golden_dir", str(golden_set), "--model_preset", "tiny",
+                   "--img_size", "64", "64", "--compute_dtype", "float32",
+                   "--batch_size", "2", "--gate", "10.0"])
+    assert report["full_gate_convert"]["ok"]
+    assert report["full_gate_oracle"]["ok"]
+    # desc branch included in the final-output diff
+    assert report["full_gate_oracle"]["layers"] >= 10
+
+
+def test_full_gate_broken_checkpoint_skips_cleanly(golden_set, tmp_path, capsys):
+    """A checkpoint the strict converter rejects must FAIL the gate with the
+    machine-readable JSON line (later stages 'skipped'), never a traceback."""
+    import json as _json
+
+    import torch
+
+    ckpt = tmp_path / "broken.pth"
+    torch.save({"model": {"totally_unknown.weight": torch.zeros(3)}}, str(ckpt))
+    with pytest.raises(SystemExit) as exc:
+        main(["--full-gate", "--model", str(ckpt),
+              "--golden_dir", str(golden_set), "--model_preset", "tiny",
+              "--img_size", "64", "64", "--compute_dtype", "float32",
+              "--batch_size", "2"])
+    assert exc.value.code == 1
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    parsed = _json.loads(line)
+    assert parsed["full_gate"] == "FAIL"
+    assert parsed["stages"]["convert"] == "fail"
+    assert parsed["stages"]["oracle"] == "skipped"
+    assert parsed["stages"]["golden_metrics"] == "skipped"
+    assert parsed["stages"]["int8_drift"] == "skipped"

@@ -107,9 +107,167 @@ class TorchDecBlock(nn.Module):
         return x + self.mlp(self.norm3(x))
 
 
+class _TorchRCU(nn.Module):
+    """MiDaS ResidualConvUnit_custom (bn=False): x + conv2(relu(conv1(relu(x))))."""
+
+    def __init__(self, fd):
+        super().__init__()
+        self.conv1 = nn.Conv2d(fd, fd, 3, padding=1)
+        self.conv2 = nn.Conv2d(fd, fd, 3, padding=1)
+
+    def forward(self, x):
+        r = F.relu(x)
+        r = self.conv1(r)
+        r = F.relu(r)
+        r = self.conv2(r)
+        return r + x
+
+
+class _TorchFusion(nn.Module):
+    """MiDaS FeatureFusionBlock_custom (deconv/bn/expand False,
+    align_corners=True)."""
+
+    def __init__(self, fd):
+        super().__init__()
+        self.resConfUnit1 = _TorchRCU(fd)
+        self.resConfUnit2 = _TorchRCU(fd)
+        self.out_conv = nn.Conv2d(fd, fd, 1)
+
+    def forward(self, x, skip=None):
+        if skip is not None:
+            x = x + self.resConfUnit1(skip)
+        x = self.resConfUnit2(x)
+        x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                          align_corners=True)
+        return self.out_conv(x)
+
+
+class _TorchScratch(nn.Module):
+    def __init__(self, fd, dims):
+        super().__init__()
+        self.layer1_rn = nn.Conv2d(dims[0], fd, 3, padding=1, bias=False)
+        self.layer2_rn = nn.Conv2d(dims[1], fd, 3, padding=1, bias=False)
+        self.layer3_rn = nn.Conv2d(dims[2], fd, 3, padding=1, bias=False)
+        self.layer4_rn = nn.Conv2d(dims[3], fd, 3, padding=1, bias=False)
+        self.refinenet1 = _TorchFusion(fd)
+        self.refinenet2 = _TorchFusion(fd)
+        self.refinenet3 = _TorchFusion(fd)
+        self.refinenet4 = _TorchFusion(fd)
+
+
+class _TorchDPTCore(nn.Module):
+    """croco DPTOutputAdapter: act_postprocess pyramid + scratch fusion +
+    output head. State-dict keys match released_checkpoint layout
+    (convert/torch_to_flax.py::expected_torch_keys)."""
+
+    def __init__(self, hc, enc_dim, dec_dim):
+        super().__init__()
+        dims = hc.dpt_layer_dims
+        fd = hc.feature_dim
+        hooks_dims = (enc_dim, dec_dim, dec_dim, dec_dim)
+        self.act_postprocess = nn.ModuleList([
+            nn.Sequential(nn.Conv2d(hooks_dims[0], dims[0], 1),
+                          nn.ConvTranspose2d(dims[0], dims[0], 4, stride=4)),
+            nn.Sequential(nn.Conv2d(hooks_dims[1], dims[1], 1),
+                          nn.ConvTranspose2d(dims[1], dims[1], 2, stride=2)),
+            nn.Sequential(nn.Conv2d(hooks_dims[2], dims[2], 1)),
+            nn.Sequential(nn.Conv2d(hooks_dims[3], dims[3], 1),
+                          nn.Conv2d(dims[3], dims[3], 3, stride=2, padding=1)),
+        ])
+        self.scratch = _TorchScratch(fd, dims)
+        self.head = nn.Sequential(
+            nn.Conv2d(fd, fd // 2, 3, padding=1),
+            nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True),
+            nn.Conv2d(fd // 2, hc.last_dim, 3, padding=1),
+            nn.ReLU(),
+            nn.Conv2d(hc.last_dim, 4, 1),
+        )
+
+    def forward(self, hooked, grid):
+        h, w = grid
+        maps = [t.transpose(1, 2).reshape(t.shape[0], t.shape[2], h, w)
+                for t in hooked]
+        l1, l2, l3, l4 = (self.act_postprocess[i](maps[i]) for i in range(4))
+        r1 = self.scratch.layer1_rn(l1)
+        r2 = self.scratch.layer2_rn(l2)
+        r3 = self.scratch.layer3_rn(l3)
+        r4 = self.scratch.layer4_rn(l4)
+        p4 = self.scratch.refinenet4(r4)
+        p3 = self.scratch.refinenet3(p4, r3)
+        p2 = self.scratch.refinenet2(p3, r2)
+        p1 = self.scratch.refinenet1(p2, r1)
+        return self.head(p1)  # [B, 4, H, W]
+
+
+def _reg_pts_conf(fmap_bhwc):
+    xyz, conf = fmap_bhwc[..., :3], fmap_bhwc[..., 3]
+    n = xyz.norm(dim=-1, keepdim=True)
+    pts = xyz / n.clamp(min=1e-8) * torch.expm1(n)
+    return pts, 1 + conf.exp()
+
+
+class _TorchDPTHead(nn.Module):
+    """dust3r PixelwiseTaskWithDPT: DPT core → (pts3d, conf)."""
+
+    def __init__(self, hc, enc_dim, dec_dim):
+        super().__init__()
+        self.dpt = _TorchDPTCore(hc, enc_dim, dec_dim)
+
+    def forward(self, hooked, grid):
+        fmap = self.dpt(hooked, grid).permute(0, 2, 3, 1)
+        pts, conf = _reg_pts_conf(fmap)
+        return {"pts3d": pts, "conf": conf}
+
+
+class _TorchLocalFeatMLP(nn.Module):
+    def __init__(self, idim, hid, nout):
+        super().__init__()
+        self.fc1 = nn.Linear(idim, hid)
+        self.fc2 = nn.Linear(hid, nout)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x)))  # exact (erf) gelu
+
+
+class _TorchCatMLPDPTHead(nn.Module):
+    """mast3r Cat_MLP_LocalFeatures_DPT_Pts3d: DPT pts3d/conf branch + MLP
+    local-feature branch over cat(enc_out, dec_out) tokens."""
+
+    def __init__(self, hc, enc_dim, dec_dim, patch_size):
+        super().__init__()
+        self.hc = hc
+        self.p = patch_size
+        self.dpt = _TorchDPTCore(hc, enc_dim, dec_dim)
+        idim = enc_dim + dec_dim
+        hid = int(hc.desc_hidden_dim_factor * idim)
+        nout = (hc.local_feat_dim + int(hc.two_confs)) * patch_size ** 2
+        self.head_local_features = _TorchLocalFeatMLP(idim, hid, nout)
+
+    def forward(self, hooked, grid, enc_tok, dec_tok):
+        h, w = grid
+        fmap = self.dpt(hooked, grid).permute(0, 2, 3, 1)
+        pts, conf = _reg_pts_conf(fmap)
+        out = {"pts3d": pts, "conf": conf}
+        x = self.head_local_features(torch.cat([enc_tok, dec_tok], dim=-1))
+        b = x.shape[0]
+        feat = x.transpose(-1, -2).view(b, -1, h, w)
+        feat = F.pixel_shuffle(feat, self.p).permute(0, 2, 3, 1)
+        ldim = self.hc.local_feat_dim
+        desc = feat[..., :ldim]
+        out["desc"] = desc / desc.norm(dim=-1, keepdim=True).clamp(min=1e-8)
+        if self.hc.two_confs:
+            # desc_conf_mode ('exp', 0, inf): vmin + exp(x) with vmin = 0
+            # (unlike pts conf whose vmin is 1)
+            vmin = self.hc.desc_conf_mode[1]
+            out["desc_conf"] = vmin + feat[..., ldim].exp()
+        return out
+
+
 class TorchDustr(nn.Module):
-    """Independent torch re-statement of AsymmetricCroCo3DStereo, linear head
-    (the production DUSt3R-224 configuration, thermal_dustr_model.py:34-47)."""
+    """Independent torch re-statement of AsymmetricCroCo3DStereo — linear
+    head (the DUSt3R-224 training/serving config, thermal_dustr_model.py:34-47),
+    DPT head, and the MASt3R catmlpdpt metric head (the pseudo-GT model,
+    scripts/pseudo_gt.py:17-34)."""
 
     def __init__(self, cfg):
         super().__init__()
@@ -129,8 +287,20 @@ class TorchDustr(nn.Module):
             [TorchDecBlock(d, cfg.dec_num_heads, cfg.mlp_ratio)
              for _ in range(cfg.dec_depth)])
         self.dec_norm = nn.LayerNorm(d, eps=1e-6)
-        self.downstream_head1 = nn.ModuleDict({"proj": nn.Linear(d, 4 * p * p)})
-        self.downstream_head2 = nn.ModuleDict({"proj": nn.Linear(d, 4 * p * p)})
+        ht = cfg.head.head_type
+        if ht == "linear":
+            self.downstream_head1 = nn.ModuleDict(
+                {"proj": nn.Linear(d, 4 * p * p)})
+            self.downstream_head2 = nn.ModuleDict(
+                {"proj": nn.Linear(d, 4 * p * p)})
+        elif ht == "dpt":
+            self.downstream_head1 = _TorchDPTHead(cfg.head, e, d)
+            self.downstream_head2 = _TorchDPTHead(cfg.head, e, d)
+        elif ht == "catmlpdpt":
+            self.downstream_head1 = _TorchCatMLPDPTHead(cfg.head, e, d, p)
+            self.downstream_head2 = _TorchCatMLPDPTHead(cfg.head, e, d, p)
+        else:
+            raise NotImplementedError(ht)
 
     def _positions(self, h, w):
         return torch.cartesian_prod(torch.arange(h), torch.arange(w))
@@ -161,15 +331,31 @@ class TorchDustr(nn.Module):
         b = img1.shape[0]
         feats, pos, grid = self._encode(torch.cat([img1, img2], dim=0))
         f1, f2 = feats[:b], feats[b:]
+        outs1, outs2 = [f1], [f2]
         x1, x2 = self.decoder_embed(f1), self.decoder_embed(f2)
         for blk1, blk2 in zip(self.dec_blocks, self.dec_blocks2):
             nx1 = blk1(x1, x2, pos, pos)
             nx2 = blk2(x2, x1, pos, pos)
             x1, x2 = nx1, nx2
-        x1, x2 = self.dec_norm(x1), self.dec_norm(x2)
-        pts1, conf1 = self._head(self.downstream_head1, x1, grid)
-        pts2, conf2 = self._head(self.downstream_head2, x2, grid)
-        return (pts1, conf1), (pts2, conf2)
+            outs1.append(x1)
+            outs2.append(x2)
+        outs1[-1] = self.dec_norm(outs1[-1])
+        outs2[-1] = self.dec_norm(outs2[-1])
+        ht = self.cfg.head.head_type
+        if ht == "linear":
+            pts1, conf1 = self._head(self.downstream_head1, outs1[-1], grid)
+            pts2, conf2 = self._head(self.downstream_head2, outs2[-1], grid)
+            return (pts1, conf1), (pts2, conf2)
+        # dust3r create_dpt_head hooks: [0, 2L/4, 3L/4, L] into
+        # [encoder_out, dec_1..dec_L] (models/heads.py::dpt_hook_indices)
+        L = self.cfg.dec_depth
+        hooks = (0, L * 2 // 4, L * 3 // 4, L)
+        h1 = [outs1[i] for i in hooks]
+        h2 = [outs2[i] for i in hooks]
+        if ht == "dpt":
+            return self.downstream_head1(h1, grid), self.downstream_head2(h2, grid)
+        return (self.downstream_head1(h1, grid, outs1[0], outs1[-1]),
+                self.downstream_head2(h2, grid, outs2[0], outs2[-1]))
 
 
 # ---------------------------------------------------------------------------

@@ -53,3 +53,22 @@ def apply_scan(config: DustrModelConfig, params, scan_layers: bool):
 
         params = to_scan_params(params, config)
     return config, params
+
+
+def make_dp_mesh(ndev: int, batch_size: int, error):
+    """Shared --ndev plumbing for the infer/evaluate/pseudo_gt CLIs: validate
+    divisibility + device count, build the 1-D data mesh over the first N
+    local devices. Returns None for ndev <= 1. `error` is the parser's
+    .error (exits with usage)."""
+    if ndev <= 1:
+        return None
+    if batch_size % ndev:
+        error(f"--batch_size {batch_size} must be a multiple of --ndev {ndev}")
+    import jax
+
+    from thermal3d.core.mesh import make_mesh
+
+    devs = jax.devices()
+    if len(devs) < ndev:
+        error(f"--ndev={ndev} but only {len(devs)} devices available")
+    return make_mesh((ndev,), ("data",), devices=devs[:ndev])

@@ -59,20 +59,9 @@ def main(argv=None):
     from thermal3d.cli.common import apply_scan
 
     config, params = apply_scan(config, params, args.scan_layers)
-    mesh = None
-    if args.ndev > 1:
-        if args.batch_size % args.ndev:
-            raise SystemExit(
-                f"--batch_size {args.batch_size} must be a multiple of "
-                f"--ndev {args.ndev}")
-        import jax
+    from thermal3d.cli.common import make_dp_mesh
 
-        from thermal3d.core.mesh import make_mesh
-
-        devs = jax.devices()
-        if len(devs) < args.ndev:
-            raise SystemExit(f"--ndev={args.ndev} but only {len(devs)} devices")
-        mesh = make_mesh((args.ndev,), ("data",), devices=devs[: args.ndev])
+    mesh = make_dp_mesh(args.ndev, args.batch_size, build_parser().error)
     engine = InferenceEngine(config, params=params,
                              use_thermal_head=not args.no_thermal_model,
                              thermal_head_params=head_params, mesh=mesh)

@@ -169,18 +169,9 @@ def main(argv=None):
                                  "to calibrate on")
         int8_calibration = np.stack(grays)
 
-    mesh = None
-    if args.ndev > 1:
-        if args.batch_size % args.ndev:
-            build_parser().error(
-                f"--batch_size {args.batch_size} must be a multiple of "
-                f"--ndev {args.ndev}")
-        from thermal3d.core.mesh import make_mesh
+    from thermal3d.cli.common import make_dp_mesh
 
-        import jax
-
-        mesh = make_mesh((args.ndev,), ("data",),
-                         devices=jax.devices()[:args.ndev])
+    mesh = make_dp_mesh(args.ndev, args.batch_size, build_parser().error)
     engine = InferenceEngine(config, params=params,
                              use_thermal_head=not args.no_thermal_model,
                              thermal_head_params=head_params,

@@ -79,17 +79,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _full_gate_convert(args, config):
     """Stage 1: strict checkpoint conversion + validation. Returns
-    (stage_report, raw_state_dict or None)."""
-    from thermal3d.convert.torch_to_flax import (convert_checkpoint,
+    (stage_report, raw_state_dict or None, converted_tree or None) — the
+    checkpoint is loaded and converted exactly ONCE; the oracle and engine
+    stages reuse the results (a real ViT-L .pth is ~1.3 GB)."""
+    from thermal3d.convert.torch_to_flax import (convert_state_dict,
                                                  load_torch_checkpoint)
 
     try:
         state = load_torch_checkpoint(args.model)
-        _, rep = convert_checkpoint(args.model, config, strict=True)
+        wrapper = any(k.startswith("model.") or k in ("edge_weight", "temp_scale")
+                      for k in state)
+        tree, rep = convert_state_dict(state, config, wrapper=wrapper,
+                                       strict=True)
         return ({"ok": True, "converted": len(rep["converted"]),
-                 "skipped": len(rep["skipped"])}, state)
+                 "skipped": len(rep["skipped"])}, state, tree)
     except Exception as e:  # strict conversion fails loudly with the diff
-        return ({"ok": False, "error": str(e)[:2000]}, None)
+        return ({"ok": False, "error": str(e)[:2000]}, None, None)
 
 
 def _full_gate_oracle(args, config, state):
@@ -97,7 +102,9 @@ def _full_gate_oracle(args, config, state):
     into both the torch oracle and (via the converter) the flax model, and
     gate every layer's |Δ| at oracle_tol × its activation scale. This is the
     check that turns 'oracle-consistent' into 'reference-consistent': RoPE
-    convention, qkv packing, and head wiring all fail it loudly if wrong."""
+    convention, qkv packing, and head wiring (linear, DPT pyramid, and the
+    MASt3R catmlpdpt local-feature branch — all three oracle-supported) fail
+    it loudly if wrong."""
     import dataclasses
     import importlib.util
     import os
@@ -112,42 +119,64 @@ def _full_gate_oracle(args, config, state):
                 "oracle stage needs a repo checkout (not an installed wheel)"}
     spec = importlib.util.spec_from_file_location("_t3d_torch_oracle", oracle_py)
     oracle_mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(oracle_mod)
+    try:
+        spec.loader.exec_module(oracle_mod)
+    except Exception as e:  # tests/ deps missing — degrade, don't traceback
+        return {"ok": False, "error": f"oracle import failed: {e}"}
 
     from thermal3d.convert.torch_to_flax import convert_state_dict
     from thermal3d.models.dustr import AsymmetricCroCo3DStereo
 
-    cfg = dataclasses.replace(config, compute_dtype="float32")  # f32 diff
-    # wrapper (ThermalDUSt3R) checkpoints prefix the base model with 'model.'
-    # (thermal_dustr_model.py:180-185); the oracle is the bare model
-    base_sd = {k[len("model."):]: v for k, v in state.items()
-               if k.startswith("model.")} or state
-    oracle = oracle_mod.TorchDustr(cfg).eval()
-    load = oracle.load_state_dict(
-        {k: v for k, v in base_sd.items() if k in oracle.state_dict()},
-        strict=False)
-    if load.missing_keys:
-        return {"ok": False, "error": "checkpoint lacks tensors the oracle "
-                f"needs: {load.missing_keys[:8]}"}
+    try:
+        cfg = dataclasses.replace(config, compute_dtype="float32")  # f32 diff
+        # wrapper (ThermalDUSt3R) checkpoints prefix the base model with
+        # 'model.' (thermal_dustr_model.py:180-185); the oracle is bare
+        base_sd = {k[len("model."):]: v for k, v in state.items()
+                   if k.startswith("model.")} or state
+        oracle = oracle_mod.TorchDustr(cfg).eval()
+        load = oracle.load_state_dict(
+            {k: v for k, v in base_sd.items() if k in oracle.state_dict()},
+            strict=False)
+        if load.missing_keys:
+            return {"ok": False, "error": "checkpoint lacks tensors the "
+                    f"oracle needs: {load.missing_keys[:8]}"}
 
-    tree, _ = convert_state_dict(base_sd, cfg)
-    tree = tree.get("model", tree)
-    rng = np.random.default_rng(0)
-    h, w = cfg.img_size
-    img1 = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
-    img2 = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
-    t_acts, ((tp1, tc1), (tp2, tc2)) = oracle_mod.capture_torch_activations(
-        oracle, img1, img2)
-    model = AsymmetricCroCo3DStereo(cfg)
-    f_acts, (pred1, pred2) = oracle_mod.capture_flax_activations(
-        model, tree, img1, img2)
-    drift = oracle_mod.per_layer_drift(t_acts, f_acts)
-    drift["pts3d_1"] = (
-        float(np.abs(np.asarray(pred1["pts3d"]) - tp1.numpy()).max()),
-        float(np.abs(tp1.numpy()).max()))
-    drift["conf_1"] = (
-        float(np.abs(np.asarray(pred1["conf"]) - tc1.numpy()).max()),
-        float(np.abs(tc1.numpy()).max()))
+        tree, _ = convert_state_dict(base_sd, cfg)
+        tree = tree.get("model", tree)
+        rng = np.random.default_rng(0)
+        h, w = cfg.img_size
+        img1 = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+        img2 = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+        t_acts, (tout1, tout2) = oracle_mod.capture_torch_activations(
+            oracle, img1, img2)
+        model = AsymmetricCroCo3DStereo(cfg)
+        f_acts, (pred1, pred2) = oracle_mod.capture_flax_activations(
+            model, tree, img1, img2)
+        drift = oracle_mod.per_layer_drift(t_acts, f_acts)
+
+        # final outputs: the oracle returns (pts, conf) tuples for the
+        # linear head and {'pts3d','conf'[,desc,desc_conf]} dicts for the
+        # DPT family; compare every field present
+        if isinstance(tout1, dict):
+            pairs = [("pts3d_1", pred1["pts3d"], tout1["pts3d"]),
+                     ("conf_1", pred1["conf"], tout1["conf"]),
+                     ("pts3d_2", pred2["pts3d_in_other_view"], tout2["pts3d"]),
+                     ("conf_2", pred2["conf"], tout2["conf"])]
+            for k in ("desc", "desc_conf"):
+                if k in tout1:
+                    pairs.append((f"{k}_1", pred1[k], tout1[k]))
+        else:
+            (tp1, tc1), (tp2, tc2) = tout1, tout2
+            pairs = [("pts3d_1", pred1["pts3d"], tp1),
+                     ("conf_1", pred1["conf"], tc1),
+                     ("pts3d_2", pred2["pts3d_in_other_view"], tp2),
+                     ("conf_2", pred2["conf"], tc2)]
+        for name, ours, theirs in pairs:
+            theirs = theirs.detach().numpy()
+            drift[name] = (float(np.abs(np.asarray(ours) - theirs).max()),
+                           float(np.abs(theirs).max()))
+    except Exception as e:  # any shape/layout mismatch is a FAIL, not a crash
+        return {"ok": False, "error": f"oracle diff crashed: {e}"}
     worst_name, worst_rel = None, 0.0
     for name, (delta, scale) in drift.items():
         rel = delta / max(1.0, scale)
@@ -216,14 +245,20 @@ def main(argv=None):
             args.img_size = list(base.img_size)
         config = apply_preset(base, args.model_preset,
                               args.img_size, args.compute_dtype)
+        converted_tree = None
+        convert_failed = False
         if args.full_gate:
-            conv_rep, raw_state = _full_gate_convert(args, config)
+            conv_rep, raw_state, converted_tree = _full_gate_convert(args, config)
             report["full_gate_convert"] = conv_rep
             print(f"full-gate convert(strict): "
                   f"{'PASS' if conv_rep['ok'] else 'FAIL'} "
                   f"({conv_rep.get('converted', 0)} tensors converted)")
             if not conv_rep["ok"]:
+                # a checkpoint the strict converter rejects cannot feed the
+                # later stages — skip them (recorded as such in the JSON)
+                # instead of crashing on a half-converted param tree
                 failures.append("strict conversion")
+                convert_failed = True
                 print(conv_rep["error"])
             else:
                 oracle_rep = _full_gate_oracle(args, config, raw_state)
@@ -239,7 +274,11 @@ def main(argv=None):
                     print(f"full-gate oracle diff: FAIL — "
                           f"{oracle_rep.get('error') or oracle_rep}")
         params = head_params = None  # no --model: random init (harness tests)
-        if args.model:
+        if converted_tree is not None:
+            # reuse the single strict conversion (no second .pth load)
+            params = converted_tree.get("model", converted_tree)
+            head_params = converted_tree.get("thermal_preprocess")
+        elif args.model and not convert_failed:
             from thermal3d.cli.infer import _load_params
 
             params, head_params = _load_params(args.model, config)
@@ -247,13 +286,21 @@ def main(argv=None):
 
         config, params = apply_scan(config, params, args.scan_layers)
         remap = dict(s.split("=", 1) for s in args.remap) or None
-        engine = _make_engine(args, config, params, head_params, int8=False)
-        m = compare_engine_to_golden(engine, args.golden_dir,
-                                     thermal_root_remap=remap,
-                                     max_frames=args.max_frames,
-                                     batch_size=args.batch_size)
-        report["golden_bf16"] = m
-        if "error" in m or "abs_rel" not in m:
+        if convert_failed:
+            # golden/int8 stages are meaningless on a rejected checkpoint;
+            # leave them out of the report (final JSON marks them skipped)
+            # and fall through to the failure exit
+            m = None
+        else:
+            engine = _make_engine(args, config, params, head_params, int8=False)
+            m = compare_engine_to_golden(engine, args.golden_dir,
+                                         thermal_root_remap=remap,
+                                         max_frames=args.max_frames,
+                                         batch_size=args.batch_size)
+            report["golden_bf16"] = m
+        if m is None:
+            pass
+        elif "error" in m or "abs_rel" not in m:
             # {} = thermal frames resolved but no *_depth.npy matched — as
             # much a gate failure as unresolvable frames (no KeyError below)
             print(f"golden: {m.get('error', 'no golden depth files matched')}")
@@ -289,11 +336,32 @@ def main(argv=None):
         with open(args.report, "w") as f:
             json.dump(report, f, indent=2, default=float)
     if args.full_gate:
-        # one machine-readable PASS/FAIL line for CI (VERDICT r4 #8)
-        stages = {k.replace("full_gate_", ""): v.get("ok", False)
-                  for k, v in report.items() if k.startswith("full_gate_")}
-        stages["golden_metrics"] = "golden frames unresolvable" not in failures
-        stages["int8_drift"] = "int8 drift gate" not in failures
+        # one machine-readable PASS/FAIL line for CI (VERDICT r4 #8); each
+        # stage reports pass/fail/skipped — a stage that never ran is
+        # 'skipped', never a spurious pass
+        def _stage(key, fail_labels):
+            if key == "convert":
+                rep = report.get("full_gate_convert")
+            elif key == "oracle":
+                rep = report.get("full_gate_oracle")
+            elif key == "golden_metrics":
+                rep = report.get("golden_bf16")
+            else:  # int8_drift
+                rep = report.get("golden_int8")
+            if rep is None:
+                return "skipped"
+            if key in ("convert", "oracle"):
+                return "pass" if rep.get("ok") else "fail"
+            return "fail" if any(f in failures for f in fail_labels) else "pass"
+
+        stages = {
+            "convert": _stage("convert", ()),
+            "oracle": _stage("oracle", ()),
+            "golden_metrics": _stage("golden_metrics",
+                                     ("golden frames unresolvable",
+                                      "reference AbsRel drift gate")),
+            "int8_drift": _stage("int8_drift", ("int8 drift gate",)),
+        }
         print(json.dumps({"full_gate": "FAIL" if failures else "PASS",
                           "stages": stages,
                           **({"failures": failures} if failures else {})}))

@@ -148,18 +148,9 @@ def main(argv=None):
                 build_parser().error("--int8_static_acts: no decodable RGB "
                                      "pairs to calibrate on")
             int8_kw["int8_calibration"] = (np.stack(r1s), np.stack(r2s))
-    mesh = None
-    if args.ndev > 1:
-        if args.batch_size % args.ndev:
-            build_parser().error(
-                f"--batch_size {args.batch_size} must be a multiple of "
-                f"--ndev {args.ndev}")
-        import jax
+    from thermal3d.cli.common import make_dp_mesh
 
-        from thermal3d.core.mesh import make_mesh
-
-        mesh = make_mesh((args.ndev,), ("data",),
-                         devices=jax.devices()[:args.ndev])
+    mesh = make_dp_mesh(args.ndev, args.batch_size, build_parser().error)
     gen = PseudoGTGenerator(config, params=params, batch_size=args.batch_size,
                             calib_file=args.calib_file, mesh=mesh, **int8_kw)
 

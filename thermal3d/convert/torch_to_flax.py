@@ -207,9 +207,12 @@ def convert_state_dict(
         report["converted"].append(key)
 
     if strict:
-        # converted source names, normalized to the bare-model namespace
+        # source names PRESENT in the checkpoint (converted or intentionally
+        # skipped — e.g. the dead refinenet4.resConfUnit1 weights real DPT
+        # checkpoints carry), normalized to the bare-model namespace;
+        # 'missing' means genuinely absent tensors only
         seen = {k[len("model."):] if wrapper and k.startswith("model.") else k
-                for k in report["converted"]}
+                for k in report["converted"] + report["skipped"]}
         missing = sorted(set(expected_torch_keys(config)) - seen)
         problems = []
         if report["unknown"]:

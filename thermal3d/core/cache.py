@@ -24,18 +24,12 @@ import platform
 
 
 def _machine_tag() -> str:
-    """Short per-host-ISA tag: arch + sha of the sorted CPU feature flags."""
-    flags = b""
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    flags = " ".join(
-                        sorted(line.split(":", 1)[1].split())).encode()
-                    break
-    except OSError:
-        flags = platform.processor().encode()
-    digest = hashlib.sha256(platform.machine().encode() + flags).hexdigest()
+    """Short per-host-ISA tag: arch + sha of the sorted CPU feature flags
+    (the native loader's binary cache key — ONE definition of 'same ISA')."""
+    from thermal3d.native import _cpu_flags
+
+    digest = hashlib.sha256(
+        platform.machine().encode() + _cpu_flags()).hexdigest()
     return f"{platform.machine()}-{digest[:10]}"
 
 

@@ -94,8 +94,14 @@ def train_and_evaluate(
         # inputs whose sharding mismatches in_shardings ("Sharding passed to
         # jit does not match the sharding on the respective arg"), so a
         # resumed --zero1 run would crash on its first step (ADVICE r4).
-        # Uncommitted fresh-init states are resharded for free either way.
-        state = jax.tree_util.tree_map(jax.device_put, state, state_shardings)
+        # Single-process only: in multi-host runs an explicit device_put of
+        # committed arrays onto shardings spanning non-addressable devices
+        # is rejected by jax — there the fresh-init (uncommitted) state is
+        # resharded by jit's in_shardings as before, and multi-host resume
+        # goes through orbax's own sharding-aware restore.
+        if pcount == 1:
+            state = jax.tree_util.tree_map(jax.device_put, state,
+                                           state_shardings)
     train_step = make_train_step(model, cfg, mesh,
                                  state_shardings=state_shardings)
     eval_step = make_eval_step(model, cfg, mesh)
