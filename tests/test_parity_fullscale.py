@@ -41,22 +41,32 @@ def run_parity(cfg, batch=1, seed=0):
     img1 = rng.uniform(0, 1, (batch, h, w, 3)).astype(np.float32)
     img2 = rng.uniform(0, 1, (batch, h, w, 3)).astype(np.float32)
 
-    t_acts, ((tpts1, tconf1), (tpts2, tconf2)) = capture_torch_activations(
-        oracle, img1, img2)
+    t_acts, (tout1, tout2) = capture_torch_activations(oracle, img1, img2)
     model = AsymmetricCroCo3DStereo(cfg)
     f_acts, (pred1, pred2) = capture_flax_activations(model, tree, img1, img2)
 
     drift = per_layer_drift(t_acts, f_acts)
+    # linear head returns (pts, conf) tuples; DPT family returns dicts
+    # (incl. desc/desc_conf for catmlpdpt) — compare every field present
+    if isinstance(tout1, dict):
+        pairs = [("pts3d_1", pred1["pts3d"], tout1["pts3d"]),
+                 ("conf_1", pred1["conf"], tout1["conf"]),
+                 ("pts3d_2", pred2["pts3d_in_other_view"], tout2["pts3d"]),
+                 ("conf_2", pred2["conf"], tout2["conf"])]
+        for k in ("desc", "desc_conf"):
+            if k in tout1:
+                pairs.append((f"{k}_1", pred1[k], tout1[k]))
+                pairs.append((f"{k}_2", pred2[k], tout2[k]))
+    else:
+        (tpts1, tconf1), (tpts2, tconf2) = tout1, tout2
+        pairs = [("pts3d_1", pred1["pts3d"], tpts1),
+                 ("conf_1", pred1["conf"], tconf1),
+                 ("pts3d_2", pred2["pts3d_in_other_view"], tpts2),
+                 ("conf_2", pred2["conf"], tconf2)]
     outs = {
-        "pts3d_1": (float(np.abs(np.asarray(pred1["pts3d"]) - tpts1.numpy()).max()),
-                    float(np.abs(tpts1.numpy()).max())),
-        "conf_1": (float(np.abs(np.asarray(pred1["conf"]) - tconf1.numpy()).max()),
-                   float(np.abs(tconf1.numpy()).max())),
-        "pts3d_2": (float(np.abs(np.asarray(pred2["pts3d_in_other_view"])
-                                 - tpts2.numpy()).max()),
-                    float(np.abs(tpts2.numpy()).max())),
-        "conf_2": (float(np.abs(np.asarray(pred2["conf"]) - tconf2.numpy()).max()),
-                   float(np.abs(tconf2.numpy()).max())),
+        name: (float(np.abs(np.asarray(ours) - theirs.numpy()).max()),
+               float(np.abs(theirs.numpy()).max()))
+        for name, ours, theirs in pairs
     }
     return drift, outs
 
@@ -89,4 +99,26 @@ def test_production_full_depth_parity():
     drift, outs = run_parity(DUSTR_224_LINEAR)
     assert len([k for k in drift if k.startswith("enc_blocks_")]) == 24
     assert len([k for k in drift if k.startswith("dec_blocks_")]) == 8
+    assert_drift_ok(drift, outs, tol=5e-4)
+
+
+@pytest.mark.heavy
+def test_production_widths_parity_catmlpdpt():
+    """Per-layer + head-output parity for the MASt3R catmlpdpt family at
+    REAL production widths (enc 1024d, dec 768d, feature_dim 256, last_dim
+    128, dpt_layer_dims (96,192,384,768) — scripts/pseudo_gt.py:17-34's
+    model), truncated depth (2 enc / 4 dec: dpt hooks (0,2,3,4) all
+    distinct) and 224² pixels to keep a 1-core run tractable. Covers the
+    DPT pyramid convs, fusion blocks, align-corners resizes, output head,
+    and the desc/desc_conf local-feature branch at real channel counts."""
+    from thermal3d.core.config import MASTR_512_CATMLPDPT
+
+    cfg = dataclasses.replace(MASTR_512_CATMLPDPT, enc_depth=2, dec_depth=4,
+                              img_size=(224, 224))
+    drift, outs = run_parity(cfg)
+    for key in ("enc_blocks_0", "enc_norm", "decoder_embed",
+                "dec_blocks_3", "dec_blocks2_3", "dec_norm"):
+        assert key in drift, f"{key} not captured"
+    assert {"pts3d_1", "conf_1", "desc_1", "desc_conf_1",
+            "pts3d_2", "desc_2"} <= set(outs)
     assert_drift_ok(drift, outs, tol=5e-4)
