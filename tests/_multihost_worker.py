@@ -33,17 +33,21 @@ def make_global_batch():
     }
 
 
-def run_one_step() -> float:
+def run_one_step(zero1: bool = False) -> float:
     """One sharded train step on the tiny model over ALL global devices.
 
     Works identically in 1-process and N-process runs: each process feeds its
-    local slice of the same deterministic global batch."""
+    local slice of the same deterministic global batch. zero1=True
+    additionally shards the AdamW moments over the GLOBAL 'data' axis
+    (spanning both processes in the 2-process test) — each process assembles
+    the global moment arrays from the identical host-computed init by global
+    index, the same path train/loop.py uses for multi-host --zero1."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from thermal3d.core.cache import enable_compilation_cache
     from thermal3d.core.config import DustrModelConfig, TrainConfig
-    from thermal3d.core.mesh import make_mesh, shard_batch_multihost
+    from thermal3d.core.mesh import make_mesh, shard_batch_multihost, state_sharding
     from thermal3d.models.dustr import AsymmetricCroCo3DStereo
     from thermal3d.train.state import create_train_state
     from thermal3d.train.step import make_train_step
@@ -56,12 +60,24 @@ def run_one_step() -> float:
     params = model.init(jax.random.key(0), img, img)["params"]
     cfg = TrainConfig(batch_size=GLOBAL_BATCH)
     state = create_train_state(model, params, cfg, steps_per_epoch=10)
-    # host-local state → global replicated arrays (required for jit inputs in
-    # multi-process runs; harmless in single-process)
-    repl = NamedSharding(mesh, P())
-    state = jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)),
-        state)
+    state_shardings = None
+    if zero1:
+        state_shardings = state_sharding(mesh, state, zero1=True)
+
+        def _globalize(x, sh):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh,
+                                                lambda idx: x[idx])
+
+        state = jax.tree_util.tree_map(_globalize, state, state_shardings)
+    else:
+        # host-local state → global replicated arrays (required for jit
+        # inputs in multi-process runs; harmless in single-process)
+        repl = NamedSharding(mesh, P())
+        state = jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                repl, np.asarray(x)),
+            state)
 
     pid, pcount = jax.process_index(), jax.process_count()
     gb = make_global_batch()
@@ -69,7 +85,8 @@ def run_one_step() -> float:
     local = {k: v[pid * local_bs:(pid + 1) * local_bs] for k, v in gb.items()}
     batch = shard_batch_multihost(mesh, local)
 
-    step = make_train_step(model, cfg, mesh)
+    step = make_train_step(model, cfg, mesh,
+                           state_shardings=state_shardings)
     if jax.process_count() > 1:
         # Compile is host-local and can take minutes on a loaded 1-core CI
         # host; Gloo's first-collective rendezvous times out at a hardcoded
@@ -112,7 +129,8 @@ def main():
     got_pid, got_pcount = initialize_multihost(coordinator, pcount, pid)
     assert (got_pid, got_pcount) == (pid, pcount), (
         f"expected ({pid}, {pcount}), got ({got_pid}, {got_pcount})")
-    loss = run_one_step()
+    zero1 = len(sys.argv) > 4 and sys.argv[4] == "--zero1"
+    loss = run_one_step(zero1=zero1)
     print(f"MULTIHOST_LOSS {loss:.10f}", flush=True)
 
 

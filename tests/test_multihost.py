@@ -28,14 +28,15 @@ def _free_port() -> int:
     return port
 
 
-def _launch(coordinator: str, pid: int, pcount: int) -> subprocess.Popen:
+def _launch(coordinator: str, pid: int, pcount: int,
+            extra_args: tuple = ()) -> subprocess.Popen:
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     return subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tests", "_multihost_worker.py"),
-         coordinator, str(pid), str(pcount)],
+         coordinator, str(pid), str(pcount), *extra_args],
         env=env, cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
 
@@ -163,3 +164,28 @@ def test_batchloader_pads_partial_final_batch_across_processes():
     assert loaders[0].local_real_count(1) == 2
     assert loaders[1].local_real_count(1) == 0
     np.testing.assert_array_equal(batches[0][1]["x"][:2, 0], [8.0, 9.0])
+
+
+@pytest.mark.heavy
+def test_two_process_zero1_matches_single_process():
+    """Multi-host ZeRO-1: the AdamW moments shard over the GLOBAL data axis
+    (2 processes x 2 devices), each process assembling its addressable
+    moment shards by global index (the train/loop.py multi-host --zero1
+    path). The step loss must match the 1-process zero1 run — the
+    cross-process reduce-scatter is the real thing here, not virtual."""
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = [_launch(coordinator, pid, 2, ("--zero1",)) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        outs.append(out)
+    losses = [_parse_loss(o) for o in outs]
+    assert losses[0] == losses[1]
+    ref = worker.run_one_step(zero1=True)
+    np.testing.assert_allclose(losses[0], ref, rtol=2e-5)

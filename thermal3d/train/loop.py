@@ -94,14 +94,22 @@ def train_and_evaluate(
         # inputs whose sharding mismatches in_shardings ("Sharding passed to
         # jit does not match the sharding on the respective arg"), so a
         # resumed --zero1 run would crash on its first step (ADVICE r4).
-        # Single-process only: in multi-host runs an explicit device_put of
-        # committed arrays onto shardings spanning non-addressable devices
-        # is rejected by jax — there the fresh-init (uncommitted) state is
-        # resharded by jit's in_shardings as before, and multi-host resume
-        # goes through orbax's own sharding-aware restore.
         if pcount == 1:
             state = jax.tree_util.tree_map(jax.device_put, state,
                                            state_shardings)
+        else:
+            # Multi-host: device_put onto shardings spanning non-addressable
+            # devices is rejected, so assemble each leaf as a GLOBAL array —
+            # every process holds the identical full host value (same init
+            # seed / same restored checkpoint) and contributes its
+            # addressable shards by global index (tests/_multihost_worker.py
+            # exercises this 2-process).
+            def _globalize(x, sh):
+                x = np.asarray(x)
+                return jax.make_array_from_callback(
+                    x.shape, sh, lambda idx: x[idx])
+
+            state = jax.tree_util.tree_map(_globalize, state, state_shardings)
     train_step = make_train_step(model, cfg, mesh,
                                  state_shardings=state_shardings)
     eval_step = make_eval_step(model, cfg, mesh)
