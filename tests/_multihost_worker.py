@@ -116,6 +116,59 @@ def run_one_step(zero1: bool = False) -> float:
     return float(metrics["loss"])
 
 
+class _SyntheticPairDataset:
+    """Deterministic in-memory dataset (identical on every process)."""
+
+    def __init__(self, n=24):
+        rng = np.random.default_rng(42)
+        self.samples = []
+        for _ in range(n):
+            b = {k: v[0] for k, v in make_global_batch().items()}
+            b = {k: (v * rng.uniform(0.9, 1.1)).astype(np.float32)
+                 for k, v in b.items()}
+            self.samples.append(b)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+def run_loop(ckpt_dir: str, zero1: bool = True) -> dict:
+    """The FULL training driver across processes: train_and_evaluate with
+    mesh over all global devices, zero1 moments sharded across the process
+    boundary, collective orbax checkpointing, all-gathered val loss — then
+    a RESUMED continuation (epochs 2 → 3) through the same entry point.
+    This is the loop-level integration the per-step test above can't see."""
+    import jax
+
+    from thermal3d.core.cache import enable_compilation_cache
+    from thermal3d.core.config import DustrModelConfig, TrainConfig
+    from thermal3d.core.mesh import make_mesh
+    from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+    from thermal3d.train.loop import train_and_evaluate
+
+    enable_compilation_cache()
+    n = len(jax.devices())
+    mesh = make_mesh((n,), ("data",))
+    model = AsymmetricCroCo3DStereo(DustrModelConfig(**TINY_KW))
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    params = model.init(jax.random.key(0), img, img)["params"]
+    params2 = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    ds = _SyntheticPairDataset()
+
+    cfg1 = TrainConfig(epochs=2, batch_size=GLOBAL_BATCH, lr=1e-4,
+                       zero1=zero1, log_interval=0)
+    s1 = train_and_evaluate(model, params, ds, cfg1, checkpoint_dir=ckpt_dir,
+                            mesh=mesh)
+    cfg2 = TrainConfig(epochs=3, batch_size=GLOBAL_BATCH, lr=1e-4,
+                       zero1=zero1, log_interval=0)
+    s2 = train_and_evaluate(model, params2, ds, cfg2, checkpoint_dir=ckpt_dir,
+                            mesh=mesh, resume=True)
+    return {"run1": s1, "run2": s2}
+
+
 def main():
     coordinator, pid, pcount = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     # this harness force-registers a TPU plugin that overrides the
@@ -129,6 +182,13 @@ def main():
     got_pid, got_pcount = initialize_multihost(coordinator, pcount, pid)
     assert (got_pid, got_pcount) == (pid, pcount), (
         f"expected ({pid}, {pcount}), got ({got_pid}, {got_pcount})")
+    if len(sys.argv) > 4 and sys.argv[4] == "--loop":
+        out = run_loop(sys.argv[5])
+        print(f"MULTIHOST_LOOP {out['run1']['best_val_loss']:.10f} "
+              f"{out['run1']['epochs_run']} {out['run2']['best_val_loss']:.10f} "
+              f"{out['run2']['epochs_run']} {out['run2']['final_step']}",
+              flush=True)
+        return
     zero1 = len(sys.argv) > 4 and sys.argv[4] == "--zero1"
     loss = run_one_step(zero1=zero1)
     print(f"MULTIHOST_LOSS {loss:.10f}", flush=True)

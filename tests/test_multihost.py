@@ -189,3 +189,39 @@ def test_two_process_zero1_matches_single_process():
     assert losses[0] == losses[1]
     ref = worker.run_one_step(zero1=True)
     np.testing.assert_allclose(losses[0], ref, rtol=2e-5)
+
+
+@pytest.mark.heavy
+def test_two_process_full_loop_zero1_with_resume(tmp_path):
+    """train_and_evaluate itself across 2 real processes: zero1 moments
+    sharded over the process boundary, process-sliced BatchLoaders,
+    all-gathered val loss, COLLECTIVE orbax checkpointing, and a resumed
+    continuation (epochs 2 -> 3) — the full multi-host production driver,
+    not just one step."""
+    coordinator = f"127.0.0.1:{_free_port()}"
+    ckpt_dir = str(tmp_path / "mh_ck")
+    procs = [_launch(coordinator, pid, 2, ("--loop", ckpt_dir))
+             for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-5000:]}"
+        outs.append(out)
+    rows = []
+    for out in outs:
+        line = [ln for ln in out.splitlines()
+                if ln.startswith("MULTIHOST_LOOP")][0].split()
+        rows.append((float(line[1]), int(line[2]), float(line[3]),
+                     int(line[4]), int(line[5])))
+    # both ranks observed identical global results
+    assert rows[0] == rows[1]
+    val1, epochs1, val2, epochs2, final_step = rows[0]
+    assert np.isfinite(val1) and np.isfinite(val2)
+    assert epochs1 == 2
+    assert epochs2 == 3          # resumed: ran only epoch 3
+    assert final_step > 0

@@ -33,16 +33,28 @@ import orbax.checkpoint as ocp
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
+        # Multi-host runs: orbax coordinates async-save commit/finalize via
+        # jax.distributed barriers whose keys are NOT namespaced per manager
+        # by default — two managers (best + last) finalizing around the same
+        # epoch boundary collide ("Barrier ThreadSaveMultiHostValueHolder:
+        # set_value_start is already ongoing", observed in the real 2-process
+        # loop test). Distinct barrier_sync_key_prefix values isolate them.
+        def _mp(prefix):
+            return ocp.options.MultiprocessingOptions(
+                barrier_sync_key_prefix=prefix)
+
         best_options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=lambda m: m["val_loss"],
             best_mode="min",
+            multiprocessing_options=_mp("best"),
         )
         self._best = ocp.CheckpointManager(
             os.path.join(self.directory, "best"), options=best_options)
         self._last = ocp.CheckpointManager(
             os.path.join(self.directory, "last"),
-            options=ocp.CheckpointManagerOptions(max_to_keep=1))
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, multiprocessing_options=_mp("last")))
         # pre-best/last-layout dirs (checkpoints directly under <dir>) must
         # still resume instead of silently restarting from scratch. Detection
         # is format-agnostic: let orbax itself scan the root (it understands
@@ -51,7 +63,10 @@ class CheckpointManager:
         # it actually finds a step.
         self._legacy = None
         try:
-            legacy = ocp.CheckpointManager(self.directory)
+            legacy = ocp.CheckpointManager(
+                self.directory,
+                options=ocp.CheckpointManagerOptions(
+                    multiprocessing_options=_mp("legacy")))
             if legacy.latest_step() is not None:
                 self._legacy = legacy
             else:

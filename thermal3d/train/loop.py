@@ -197,14 +197,20 @@ def train_and_evaluate(
                 break
             if "pointmap1" not in batch:
                 continue
-            n_real = batch["thermal1"].shape[0]
+            n_rows = batch["thermal1"].shape[0]
+            n_real = n_rows
             if hasattr(val_loader, "local_real_count"):
                 # the loader pads partial final batches (incl. empty high-rank
                 # multihost slices) with duplicate rows; count only real ones
                 n_real = min(n_real, val_loader.local_real_count(bi))
             local_bs = cfg.batch_size // pcount
-            if n_real < local_bs:
-                pad = local_bs - n_real
+            if n_rows < local_bs:
+                # pad the ROWS up to the static shape — only single-process
+                # loaders yield short batches (the multi-process loader
+                # pre-pads every slice); padding by n_real here would
+                # double-pad an already-padded multihost batch to an
+                # indivisible global size (caught by the 2-process loop test)
+                pad = local_bs - n_rows
                 batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                          for k, v in batch.items()}
             per_sample = eval_step(state.params, place_batch(mesh, batch))
