@@ -1,0 +1,100 @@
+"""Serving-artifact export/load (infer/export.py): the exported StableHLO +
+weights npz must reproduce InferenceEngine.infer without any model code at
+load time, across monocular/stereo/int8/padding, with cpu+tpu lowering."""
+
+import numpy as np
+import pytest
+
+from thermal3d.infer.engine import InferenceEngine
+from thermal3d.infer.export import ServingArtifact, save_serving_artifact
+
+
+@pytest.fixture
+def raw_frames(rng):
+    # raw grayscale at a non-model resolution so the in-program resize runs
+    return rng.uniform(21000.0, 26000.0, (4, 24, 28)).astype(np.float32)
+
+
+def _export(tmp_path, engine, **kw):
+    path = str(tmp_path / "serving.npz")
+    meta = save_serving_artifact(path, engine, batch_sizes=(4,),
+                                 input_hw=(24, 28), **kw)
+    return path, meta
+
+
+def test_artifact_matches_engine(tmp_path, tiny_config, raw_frames):
+    engine = InferenceEngine(tiny_config)
+    path, meta = _export(tmp_path, engine)
+    art = ServingArtifact.load(path)
+    got = art.infer(raw_frames)
+    want = engine.infer(raw_frames)
+    assert set(got) == set(meta["outputs"]) == set(want)
+    for k in got:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+    assert "cpu" in art.meta["platforms"] and "tpu" in art.meta["platforms"]
+
+
+def test_artifact_pads_short_batches(tmp_path, tiny_config, raw_frames):
+    engine = InferenceEngine(tiny_config)
+    path, _ = _export(tmp_path, engine)
+    art = ServingArtifact.load(path)
+    full = art.infer(raw_frames)
+    short = art.infer(raw_frames[:3])
+    assert short["depth"].shape[0] == 3
+    np.testing.assert_array_equal(short["depth"], full["depth"][:3])
+    with pytest.raises(ValueError, match="largest exported"):
+        art.infer(np.concatenate([raw_frames, raw_frames]))
+
+
+def test_artifact_stereo(tmp_path, tiny_config, raw_frames, rng):
+    engine = InferenceEngine(tiny_config)
+    path, _ = _export(tmp_path, engine, stereo=True)
+    art = ServingArtifact.load(path)
+    raw2 = rng.uniform(21000.0, 26000.0, (4, 24, 28)).astype(np.float32)
+    got = art.infer(raw_frames, raw2)
+    want = engine.infer(raw_frames, raw2)
+    np.testing.assert_allclose(got["pointmap2"], want["pointmap2"],
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="second view"):
+        art.infer(raw_frames)  # monocular call on a stereo artifact
+
+
+def test_artifact_int8(tmp_path, tiny_config, raw_frames):
+    """The quant collection (int8 kernels + scales) must ride the artifact:
+    the loaded program matches the int8 engine, not the float one."""
+    engine = InferenceEngine(tiny_config, quantize_int8=True)
+    path, meta = _export(tmp_path, engine)
+    assert meta["int8"]
+    art = ServingArtifact.load(path)
+    got = art.infer(raw_frames)
+    want = engine.infer(raw_frames)
+    np.testing.assert_allclose(got["depth"], want["depth"],
+                               rtol=1e-5, atol=1e-6)
+    flo = InferenceEngine(tiny_config).infer(raw_frames)
+    assert not np.allclose(got["depth"], flo["depth"], rtol=1e-5, atol=1e-6)
+
+
+def test_artifact_rejects_wrong_shape_and_format(tmp_path, tiny_config,
+                                                 raw_frames):
+    engine = InferenceEngine(tiny_config)
+    path, _ = _export(tmp_path, engine)
+    art = ServingArtifact.load(path)
+    with pytest.raises(ValueError, match="raw frames"):
+        art.infer(raw_frames[:, :12, :])
+    bogus = tmp_path / "bogus.npz"
+    np.savez(bogus, meta=np.frombuffer(b'{"format": "nope"}', dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a thermal3d-serving"):
+        ServingArtifact.load(str(bogus))
+
+
+def test_export_cli(tmp_path, raw_frames):
+    from thermal3d.cli.export import main
+
+    out = str(tmp_path / "cli.npz")
+    main(["--out", out, "--batch_sizes", "4", "--input_hw", "24", "28",
+          "--model_preset", "tiny", "--img_size", "32", "32",
+          "--compute_dtype", "float32"])
+    art = ServingArtifact.load(out)
+    depth = art.infer(raw_frames)["depth"]
+    assert depth.shape == (4, 32, 32) and np.isfinite(depth).all()
