@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export the two-view program instead of monocular")
     p.add_argument("--img_size", type=int, nargs=2, default=None)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--params_dtype", type=str, default=None,
+                   help="store weights in this dtype in the artifact (e.g. "
+                        "'bfloat16': halves the artifact and skips the "
+                        "per-step f32→bf16 cast, ~1 GB HBM/step at ViT-L — "
+                        "the bench serving configuration)")
     p.add_argument("--no_thermal_model", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="quantize the trunk GEMMs to int8 before exporting "
@@ -80,6 +85,7 @@ def main(argv=None):
     engine = InferenceEngine(config, params=params,
                              use_thermal_head=not args.no_thermal_model,
                              thermal_head_params=head_params,
+                             params_dtype=args.params_dtype,
                              quantize_int8=args.int8,
                              int8_only=SCOPE_TO_ONLY[args.int8_scope])
     meta = save_serving_artifact(
