@@ -88,6 +88,27 @@ def test_artifact_rejects_wrong_shape_and_format(tmp_path, tiny_config,
         ServingArtifact.load(str(bogus))
 
 
+def test_native_platform_export(tmp_path, tiny_config, raw_frames):
+    """platforms=None exports the engine's exact native program for the
+    current backend only; multi-platform exports flag the portable variant.
+    On the CPU test backend both programs are the same ops, so outputs
+    match the engine either way."""
+    engine = InferenceEngine(tiny_config)
+    path = str(tmp_path / "native.npz")
+    meta = save_serving_artifact(path, engine, batch_sizes=(4,),
+                                 input_hw=(24, 28), platforms=None)
+    import jax
+
+    assert meta["platforms"] == [jax.default_backend()]
+    assert not meta["portable_program"]
+    got = ServingArtifact.load(path).infer(raw_frames)
+    want = engine.infer(raw_frames)
+    np.testing.assert_allclose(got["depth"], want["depth"],
+                               rtol=1e-5, atol=1e-6)
+    _, multi = _export(tmp_path, engine)
+    assert multi["portable_program"]
+
+
 def test_export_cli(tmp_path, raw_frames):
     from thermal3d.cli.export import main
 

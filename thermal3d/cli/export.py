@@ -35,9 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "to the model's img_size inside); defaults to the "
                         "model img_size")
     p.add_argument("--platforms", type=str, default="cpu,tpu",
-                   help="comma-separated lowering platforms. Use 'tpu' "
-                        "alone when the engine resolves to the Pallas "
-                        "attention kernels (S >= 512 on a TPU host)")
+                   help="comma-separated lowering platforms (portable "
+                        "program: XLA attention + exact sort enhance), or "
+                        "'native' for the current backend only with the "
+                        "engine's exact program incl. Pallas kernels (max "
+                        "TPU throughput; required to keep the fused "
+                        "attention win at S >= 512)")
     p.add_argument("--stereo", action="store_true",
                    help="export the two-view program instead of monocular")
     p.add_argument("--img_size", type=int, nargs=2, default=None)
@@ -88,11 +91,12 @@ def main(argv=None):
                              params_dtype=args.params_dtype,
                              quantize_int8=args.int8,
                              int8_only=SCOPE_TO_ONLY[args.int8_scope])
+    platforms = (None if args.platforms == "native"
+                 else tuple(s for s in args.platforms.split(",") if s))
     meta = save_serving_artifact(
         args.out, engine, batch_sizes=args.batch_sizes,
         input_hw=tuple(args.input_hw) if args.input_hw else None,
-        platforms=tuple(s for s in args.platforms.split(",") if s),
-        stereo=args.stereo)
+        platforms=platforms, stereo=args.stereo)
     import os
 
     size_mb = os.path.getsize(args.out) / 1e6

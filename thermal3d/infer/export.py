@@ -12,13 +12,17 @@ compatibility guarantees) together with the weights in ONE `.npz` file:
 * **model-code-free serving**: `ServingArtifact.load(path).infer(raw)` needs
   jax + numpy only — no thermal3d model definitions, no flax, no checkpoint
   converter on the serving host (`load` imports nothing from thermal3d).
-* **cross-platform lowering**: export on a CPU dev box with
-  `platforms=("cpu", "tpu")` and the same artifact runs on both — the TPU
-  serving fleet never needs the training environment. (Caveat: if the
-  engine's attention resolves to the Pallas kernels — `attention_impl`
-  'pallas', or 'auto' at S >= 512 ON a TPU host — the program is TPU-only;
-  export with `platforms=("tpu",)` then. The flagship 224 serving model
-  resolves to XLA attention, which lowers for every platform.)
+* **cross-platform lowering**: export with `platforms=("cpu", "tpu")` and
+  the same artifact runs on both — a CPU dev box can produce the TPU
+  fleet's artifact and vice versa. A multi-platform export automatically
+  uses the PORTABLE program variant: attention pinned to the XLA path
+  (identical to what 'auto' resolves to at the flagship S=196) and the
+  exact sort-percentile enhance instead of the TPU Pallas histogram kernel
+  (Pallas lowers only for its own backend). A single-platform export
+  (`platforms=None` → the current backend) keeps the engine's exact native
+  program, Pallas kernels included — use that for the last ~3% of TPU
+  serving throughput and for the S >= 512 models where the fused Pallas
+  attention is the measured win (docs/PERF.md).
 * **fixed shapes by design**: one program per batch size (the M=7056 tiling
   optimum is per-shape anyway — docs/PERF.md); `infer` pads a short batch to
   the smallest exported size and slices the outputs.
@@ -50,21 +54,36 @@ def _weights_pytree(engine):
     return jax.tree_util.tree_flatten(tree)
 
 
-def _make_serving_fn(engine, treedef, stereo: bool):
+def _make_serving_fn(engine, treedef, stereo: bool, portable: bool):
     """The full serving program as one jittable function over the FLAT weight
     list — mirrors InferenceEngine.infer (engine.py:188-205): jit preprocess
-    then jit forward, fused here into a single dispatch."""
-    from thermal3d.preprocess.enhance import enhance_thermal_contrast
-    from thermal3d.preprocess.resize import resize_bilinear_hw
+    then jit forward, fused here into a single dispatch.
+
+    portable=True (multi-platform export) swaps the two backend-specific
+    kernels for their portable exact equivalents: the sort-percentile
+    enhance (the Pallas histogram kernel is the approximation) and the XLA
+    attention path ('auto' resolves there anyway at S=196; at S >= 512 this
+    forgoes the fused Pallas win — export single-platform for that)."""
+    import dataclasses
 
     import jax
 
+    from thermal3d.preprocess.enhance import enhance_thermal_contrast
+    from thermal3d.preprocess.resize import resize_bilinear_hw
+
     model, config = engine.model, engine.config
+    if portable and (config.attention_impl == "auto"
+                     or config.attention_impl.startswith("pallas")):
+        from thermal3d.models.dustr import AsymmetricCroCo3DStereo
+
+        config = dataclasses.replace(config, attention_impl="xla")
+        model = AsymmetricCroCo3DStereo(config)
+    enhance_impl = "sort" if portable else "auto"
     head, use_head = engine._thermal_head, engine.use_thermal_head
 
     def prep(raw, head_params):
         x = enhance_thermal_contrast(
-            resize_bilinear_hw(raw, config.img_size))
+            resize_bilinear_hw(raw, config.img_size), impl=enhance_impl)
         if use_head:
             x = head.apply({"params": head_params}, x)
         return x
@@ -109,7 +128,7 @@ def save_serving_artifact(
     engine,
     batch_sizes: Sequence[int] = (36,),
     input_hw: Optional[Tuple[int, int]] = None,
-    platforms: Sequence[str] = ("cpu", "tpu"),
+    platforms: Optional[Sequence[str]] = ("cpu", "tpu"),
     stereo: bool = False,
 ) -> Dict:
     """Export `engine`'s serving pipeline for each batch size and write the
@@ -118,6 +137,10 @@ def save_serving_artifact(
     input_hw: raw grayscale frame shape fed to the program (pre-decode
     resolution; resized to the model's img_size inside). Defaults to the
     model's native img_size.
+
+    platforms: lowering targets. None → the current backend only, keeping
+    the engine's exact native program (Pallas kernels included). Any other
+    set exports the portable program variant (see _make_serving_fn).
     """
     import jax
     from jax import export as jax_export
@@ -129,8 +152,11 @@ def save_serving_artifact(
         input_hw = engine.config.img_size
     h, w = int(input_hw[0]), int(input_hw[1])
 
+    if platforms is None:
+        platforms = (jax.default_backend(),)
+    portable = set(platforms) != {jax.default_backend()}
     leaves, treedef = _weights_pytree(engine)
-    fn = jax.jit(_make_serving_fn(engine, treedef, stereo))
+    fn = jax.jit(_make_serving_fn(engine, treedef, stereo, portable))
     w_specs = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves]
 
     blobs: Dict[str, np.ndarray] = {}
@@ -155,6 +181,7 @@ def save_serving_artifact(
         "input_hw": [h, w],
         "img_size": list(engine.config.img_size),
         "stereo": bool(stereo),
+        "portable_program": bool(portable),
         "outputs": list(_OUTPUTS),
         "num_weights": len(leaves),
         "weights": weights_meta,
