@@ -384,12 +384,15 @@ def main():
         jax.random.key(1))["params"]
 
     _model_cache = {}
+    _init_cache = []  # one fixed-seed f32 tree shared by every variant
 
     def build_variant(int8_only_cfg, variant_static_acts):
         """(model, params, quant) for one serving config. int8_only_cfg is
         None for the bf16 path, else the SCOPE_TO_ONLY tuple. Base params
-        come from one fixed-seed init so every variant quantizes the SAME
-        weights (drift below is purely the quantization)."""
+        come from ONE fixed-seed init (attention_impl doesn't change the
+        param tree) so every variant quantizes the SAME weights (drift below
+        is purely the quantization) and the ViT-L init program runs once,
+        not once per secondary metric."""
         vattn = attn if int8_only_cfg is None else pin_attention_for_int8(attn)
         key = (vattn, branch)
         if key not in _model_cache:
@@ -401,8 +404,10 @@ def main():
             _model_cache[key] = AsymmetricCroCo3DStereo(cfg)
         vmodel = _model_cache[key]
         dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-        vparams = jax.jit(lambda k: vmodel.init(k, dummy, dummy))(
-            jax.random.key(0))["params"]
+        if not _init_cache:
+            _init_cache.append(jax.jit(lambda k: vmodel.init(k, dummy, dummy))(
+                jax.random.key(0))["params"])
+        vparams = _init_cache[0]
         if bf16_params and not tiny:  # store weights in compute dtype:
             # no per-step f32->bf16 cast (tiny mode computes in f32)
             vparams = jax.tree_util.tree_map(

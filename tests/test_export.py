@@ -86,6 +86,49 @@ def test_artifact_rejects_wrong_shape_and_format(tmp_path, tiny_config,
     np.savez(bogus, meta=np.frombuffer(b'{"format": "nope"}', dtype=np.uint8))
     with pytest.raises(ValueError, match="not a thermal3d-serving"):
         ServingArtifact.load(str(bogus))
+    with pytest.raises(ValueError, match="empty batch"):
+        art.infer(raw_frames[:0])
+
+
+def test_loader_imports_without_flax(tmp_path, tiny_config, raw_frames):
+    """The deployment contract: `from thermal3d.infer.export import
+    ServingArtifact` + load + infer on a host with jax+numpy but NO
+    flax/optax/orbax. Run in a fresh subprocess with those imports blocked
+    (this process already has them cached in sys.modules)."""
+    import subprocess
+    import sys
+
+    engine = InferenceEngine(tiny_config)
+    path, _ = _export(tmp_path, engine)
+    np.save(tmp_path / "frames.npy", raw_frames)
+    code = f"""
+import sys
+
+class Block:
+    BLOCKED = ("flax", "optax", "orbax")
+    def find_spec(self, name, path=None, target=None):
+        if name.split(".")[0] in self.BLOCKED:
+            raise ImportError("blocked: " + name)
+        return None
+
+sys.meta_path.insert(0, Block())
+import numpy as np
+from thermal3d.infer.export import ServingArtifact
+art = ServingArtifact.load({str(path)!r})
+out = art.infer(np.load({str(tmp_path / "frames.npy")!r}))
+assert out["depth"].shape[0] == 4 and np.isfinite(out["depth"]).all()
+assert not [m for m in sys.modules if m.split(".")[0] in Block.BLOCKED]
+print("FLAX_FREE_OK")
+"""
+    import os
+
+    env = dict(os.environ, THERMAL3D_PLATFORM="cpu")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code], cwd=repo_root,
+                          capture_output=True, text=True, env=env,
+                          timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "FLAX_FREE_OK" in proc.stdout
 
 
 def test_native_platform_export(tmp_path, tiny_config, raw_frames):

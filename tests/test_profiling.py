@@ -47,13 +47,19 @@ def test_compile_cache_keyed_by_machine_tag(tmp_path, monkeypatch):
 
     from thermal3d.core.cache import _machine_tag, enable_compilation_cache
 
+    import jax
+
     tag = _machine_tag()
     assert tag == _machine_tag()  # deterministic
     assert tag.startswith(platform.machine() + "-")
-    monkeypatch.setenv("THERMAL3D_COMPILE_CACHE", str(tmp_path / "c"))
-    path = enable_compilation_cache()
-    assert os.path.basename(path) == tag
-    assert os.path.isdir(path)
-    # restore the suite's cache dir (conftest enabled it at session start)
-    monkeypatch.delenv("THERMAL3D_COMPILE_CACHE")
-    enable_compilation_cache()
+    # restore whatever cache dir the session was using (conftest enabled it
+    # at session start, possibly from a pinned THERMAL3D_COMPILE_CACHE) —
+    # restoring the env var alone would leave jax pointed at this test's dir
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("THERMAL3D_COMPILE_CACHE", str(tmp_path / "c"))
+        path = enable_compilation_cache()
+        assert os.path.basename(path) == tag
+        assert os.path.isdir(path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)

@@ -83,12 +83,12 @@ def _full_gate_convert(args, config):
     checkpoint is loaded and converted exactly ONCE; the oracle and engine
     stages reuse the results (a real ViT-L .pth is ~1.3 GB)."""
     from thermal3d.convert.torch_to_flax import (convert_state_dict,
+                                                 is_wrapper_state_dict,
                                                  load_torch_checkpoint)
 
     try:
         state = load_torch_checkpoint(args.model)
-        wrapper = any(k.startswith("model.") or k in ("edge_weight", "temp_scale")
-                      for k in state)
+        wrapper = is_wrapper_state_dict(state)
         tree, rep = convert_state_dict(state, config, wrapper=wrapper,
                                        strict=True)
         return ({"ok": True, "converted": len(rep["converted"]),
@@ -165,6 +165,9 @@ def _full_gate_oracle(args, config, state):
             for k in ("desc", "desc_conf"):
                 if k in tout1:
                     pairs.append((f"{k}_1", pred1[k], tout1[k]))
+                    # view 2 covers downstream_head2's local-feature MLP,
+                    # which no per-layer hook sees
+                    pairs.append((f"{k}_2", pred2[k], tout2[k]))
         else:
             (tp1, tc1), (tp2, tc2) = tout1, tout2
             pairs = [("pts3d_1", pred1["pts3d"], tp1),

@@ -250,6 +250,15 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return ckpt
 
 
+def is_wrapper_state_dict(state: Dict) -> bool:
+    """True when a state dict is a ThermalDUSt3R-wrapper checkpoint ('model.'
+    prefixed keys plus learnable edge_weight/temp_scale,
+    thermal_dustr_model.py:180-185). The single source of truth for wrapper
+    auto-detection — convert_checkpoint and cli.parity both use it."""
+    return any(k.startswith("model.") or k in ("edge_weight", "temp_scale")
+               for k in state)
+
+
 def convert_checkpoint(path: str, config: DustrModelConfig,
                        wrapper: Optional[bool] = None, strict: bool = False):
     """Full conversion: .pth file → {'params': tree}. wrapper=None
@@ -257,8 +266,7 @@ def convert_checkpoint(path: str, config: DustrModelConfig,
     strict=True fails loudly on unknown/missing keys (see convert_state_dict)."""
     state = load_torch_checkpoint(path)
     if wrapper is None:
-        wrapper = any(k.startswith("model.") or k in ("edge_weight", "temp_scale")
-                      for k in state)
+        wrapper = is_wrapper_state_dict(state)
     tree, report = convert_state_dict(state, config, wrapper=wrapper,
                                       strict=strict)
     return {"params": tree}, report

@@ -271,6 +271,8 @@ class ServingArtifact:
                 f"expected [n, {self.input_hw[0]}, {self.input_hw[1]}] raw "
                 f"frames, got {raw1.shape}")
         n = raw1.shape[0]
+        if n == 0:
+            raise ValueError("empty batch: need at least one frame")
         b = self._pick_batch(n)
         views = [raw1] if raw2 is None else [raw1,
                                              np.asarray(raw2, np.float32)]
