@@ -213,6 +213,39 @@ def test_rectangular_input_dpt_head(tiny_config):
     assert np.all(np.isfinite(np.asarray(pred1["pts3d"])))
 
 
+@pytest.mark.parametrize("hw", [(48, 32), (80, 48)])
+def test_odd_patch_grid_dpt_head(tiny_config, hw):
+    """Odd patch grids (e.g. dust3r's 512×336 bucket → 21-row grid): the DPT
+    pyramid's act4_down emits ceil(h/2) rows, so each refinenet 2× upsample
+    must be cropped to the next skip's size (croco DPTOutputAdapter crops
+    path_4 to layer_3's shape) — uncropped, the skip-add throws at trace
+    time. 48 and 80 give 3- and 5-row grids at patch 16."""
+    cfg = dataclasses.replace(
+        tiny_config,
+        img_size=hw,
+        head=HeadConfig(head_type="catmlpdpt", feature_dim=32, last_dim=16,
+                        dpt_layer_dims=(8, 16, 24, 32), local_feat_dim=6),
+    )
+    (pred1, pred2), _ = _forward(cfg, batch=1)
+    assert pred1["pts3d"].shape == (1, hw[0], hw[1], 3)
+    assert pred2["pts3d_in_other_view"].shape == (1, hw[0], hw[1], 3)
+    assert np.all(np.isfinite(np.asarray(pred1["pts3d"])))
+
+
+def test_catmlpdpt_single_conf_aliases_desc_conf(tiny_config):
+    """mast3r postprocess with two_confs=False emits desc_conf = conf (the
+    pointmap confidence doubles as the descriptor confidence)."""
+    cfg = dataclasses.replace(
+        tiny_config,
+        head=HeadConfig(head_type="catmlpdpt", feature_dim=32, last_dim=16,
+                        dpt_layer_dims=(8, 16, 24, 32), local_feat_dim=6,
+                        two_confs=False),
+    )
+    (pred1, _), _ = _forward(cfg, batch=1)
+    np.testing.assert_array_equal(np.asarray(pred1["desc_conf"]),
+                                  np.asarray(pred1["conf"]))
+
+
 def test_rectangular_rope_orientation(tiny_config):
     """A rectangular RoPE grid must distinguish the two axes: transposing the
     input image is NOT equivalent to transposing the output (positions encode

@@ -164,9 +164,9 @@ class AsymmetricCroCo3DStereo(nn.Module):
             self.head1 = LinearPts3dHead(cfg.patch_size, cfg.head, name="downstream_head1")
             self.head2 = LinearPts3dHead(cfg.patch_size, cfg.head, name="downstream_head2")
         elif head_type == "dpt":
-            self.head1 = DPTPts3dHead(cfg.patch_size, cfg.head, dtype=dt_head,
+            self.head1 = DPTPts3dHead(cfg.head, dtype=dt_head,
                                       name="downstream_head1")
-            self.head2 = DPTPts3dHead(cfg.patch_size, cfg.head, dtype=dt_head,
+            self.head2 = DPTPts3dHead(cfg.head, dtype=dt_head,
                                       name="downstream_head2")
         elif head_type == "catmlpdpt":
             self.head1 = CatMLPDPTHead(cfg.patch_size, cfg.head, dtype=dt_head,
@@ -267,9 +267,4 @@ class AsymmetricCroCo3DStereo(nn.Module):
             # encode both views in a single batched pass (shared weights)
             feats, pos, grid = self.encode(jnp.concatenate([img1, img2], axis=0))
             f1, f2 = feats[:b], feats[b:]
-        outs1, outs2 = self.decode(f1, f2, pos)
-        res1 = self._run_head(self.head1, outs1, grid)
-        res2 = self._run_head(self.head2, outs2, grid)
-        pred2 = dict(res2)
-        pred2["pts3d_in_other_view"] = pred2.pop("pts3d")
-        return res1, pred2
+        return self.decode_with_heads(f1, f2, pos, grid)

@@ -132,13 +132,17 @@ def _resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
 
 class _FeatureFusionBlock(nn.Module):
     """MiDaS FeatureFusionBlock_custom (deconv=False, bn=False, expand=False,
-    align_corners=True)."""
+    align_corners=True). out_hw crops the 2× upsample to the next skip
+    branch's spatial size — croco's DPTOutputAdapter crops path_4 to
+    layer_3's shape, which matters when the patch grid is odd (e.g. the
+    512×336 bucket → 21-row grid: act4_down emits ceil(h/2) rows and the
+    2× upsample overshoots by one)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skip=None):
+    def __call__(self, x, skip=None, out_hw=None):
         if skip is not None:
             x = x + _ResidualConvUnit(self.features, self.dtype,
                                       name="resConfUnit1")(skip)
@@ -146,6 +150,8 @@ class _FeatureFusionBlock(nn.Module):
                               name="resConfUnit2")(x)
         b, h, w, c = x.shape
         x = _resize_bilinear(x, (2 * h, 2 * w))
+        if out_hw is not None:
+            x = x[:, :out_hw[0], :out_hw[1], :]
         x = nn.Conv(self.features, (1, 1), dtype=self.dtype,
                     name="out_conv")(x)
         return x
@@ -202,9 +208,12 @@ class DPTHead(nn.Module):
         r4 = nn.Conv(fd, (3, 3), padding=1, use_bias=False, dtype=dt,
                      name="layer4_rn")(l4)
 
-        p4 = _FeatureFusionBlock(fd, dt, name="refinenet4")(r4)
-        p3 = _FeatureFusionBlock(fd, dt, name="refinenet3")(p4, r3)
-        p2 = _FeatureFusionBlock(fd, dt, name="refinenet2")(p3, r2)
+        p4 = _FeatureFusionBlock(fd, dt, name="refinenet4")(
+            r4, out_hw=r3.shape[1:3])
+        p3 = _FeatureFusionBlock(fd, dt, name="refinenet3")(
+            p4, r3, out_hw=r2.shape[1:3])
+        p2 = _FeatureFusionBlock(fd, dt, name="refinenet2")(
+            p3, r2, out_hw=r1.shape[1:3])
         p1 = _FeatureFusionBlock(fd, dt, name="refinenet1")(p2, r1)
 
         # output head: conv3x3 → ×2 upsample → conv3x3 → relu → conv1x1
@@ -219,9 +228,9 @@ class DPTHead(nn.Module):
 
 
 class DPTPts3dHead(nn.Module):
-    """PixelwiseTaskWithDPT: DPT → (pts3d, conf)."""
+    """PixelwiseTaskWithDPT: DPT → (pts3d, conf). (No patch_size: the DPT
+    pyramid derives every resolution from the token grid.)"""
 
-    patch_size: int
     cfg: HeadConfig
     dtype: jnp.dtype = jnp.float32
 
@@ -255,7 +264,7 @@ class CatMLPDPTHead(nn.Module):
     @nn.compact
     def __call__(self, hooked_tokens: Sequence[jnp.ndarray], patch_grid: Tuple[int, int],
                  enc_tokens: jnp.ndarray, dec_tokens: jnp.ndarray):
-        out = DPTPts3dHead(self.patch_size, self.cfg, dtype=self.dtype,
+        out = DPTPts3dHead(self.cfg, dtype=self.dtype,
                            name="dpt_head")(hooked_tokens, patch_grid)
         p = self.patch_size
         dt = self.dtype
@@ -274,6 +283,10 @@ class CatMLPDPTHead(nn.Module):
         out["desc"] = reg_desc(fmap[..., :ldim])
         if self.cfg.two_confs:
             out["desc_conf"] = reg_dense_conf(fmap[..., ldim], self.cfg.desc_conf_mode)
+        else:
+            # mast3r postprocess: with a single confidence the pointmap conf
+            # doubles as the descriptor conf (desc_conf = conf)
+            out["desc_conf"] = out["conf"]
         return out
 
 
